@@ -1,0 +1,55 @@
+"""Benchmark runner: executes the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Each query's timing includes full execution to a count() action (results
+never collected to the driver — we measure the engine, not the pickle)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark("bdc-dxc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: e for n, e in plans.QUERIES.items() if e.bench}
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, entry in sorted(headline.items()):
+        t0 = time.perf_counter()
+        try:
+            df = entry.fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

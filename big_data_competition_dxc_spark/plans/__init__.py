@@ -1,0 +1,36 @@
+from .registry import QUERIES, QueryEntry, query  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from ..operators import rollup  # noqa: F401
+
+    # Widened per phase; each import populates QUERIES via @query.
+    for modpath in (
+        "big_data_competition_dxc_spark.operators.joins",
+        "big_data_competition_dxc_spark.operators.lags",
+        "big_data_competition_dxc_spark.operators.aggregates",
+        "big_data_competition_dxc_spark.operators.filters",
+        "big_data_competition_dxc_spark.operators.setops",
+        "big_data_competition_dxc_spark.operators.topk",
+        "big_data_competition_dxc_spark.functions.datequeries",
+        "big_data_competition_dxc_spark.functions.stringqueries",
+        "big_data_competition_dxc_spark.dedup.exact",
+        "big_data_competition_dxc_spark.dedup.minhash",
+        "big_data_competition_dxc_spark.dedup.simhash",
+        "big_data_competition_dxc_spark.dedup.jaccard",
+        "big_data_competition_dxc_spark.similarity.cosine",
+        "big_data_competition_dxc_spark.textops.quality",
+        "big_data_competition_dxc_spark.textops.langid",
+        "big_data_competition_dxc_spark.multimodal.binary_ops",
+        "big_data_competition_dxc_spark.ml.features",
+        "big_data_competition_dxc_spark.ml.regression",
+        "big_data_competition_dxc_spark.ml.clustering",
+        "big_data_competition_dxc_spark.ml.recommend",
+        "big_data_competition_dxc_spark.ml.forecast",
+        "big_data_competition_dxc_spark.streaming.rollup_stream",
+    ):
+        try:
+            __import__(modpath)
+        except ImportError:
+            pass  # module not built yet (phased build plan, SURVEY §7)

@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for local[N] testing and cluster-safe defaults.
+
+Replaces the reference's per-notebook ``sqlContext`` (流行音乐趋势预测.md:36)
+with one configured session: AQE on (runtime partition coalescing + skew-join
+splitting), UTC session time zone (date/timestamp determinism vs the DuckDB
+oracle), Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "bdc-dxc-spark") -> SparkSession:
+    """Build (or fetch) the session.
+
+    Local parallelism follows ``SPARK_GRAFT_CPUS`` (driver contract);
+    shuffle partitions match cores in local mode — on a real cluster this
+    would be sized to ~2-3x total executor cores, with AQE coalescing
+    handling the long tail.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
