@@ -1,0 +1,154 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Wide per-entity rollups (流行音乐趋势预测.md:254, 953), mixed
+count/sum/avg (M:953), global column statistics (M:141-146), distinct
+counts (豆瓣图书推荐.md:41-45), ranked frequency (D:9-11). Map-side
+partial aggregation is Catalyst's job — these are all single-shuffle
+hash aggregations at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to
+from ..plans.registry import query
+from ..sources import load
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+       (floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+       (floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
+       (floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+       (floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+    tags=("A4", "A5", "P3"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 wide rollup (M:254, M:953): 6 measures over a 2-key group
+    with a pushed-down date predicate — the per-artist 13-measure rollup
+    shape, TPC-H-Q1 style."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_to(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        round_to(F.sum(disc_price), 2).alias("sum_disc_price"),
+        round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
+        round_to(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "supplier_rollup",
+    oracle="""
+SELECT l_suppkey,
+       COUNT(*) AS n_items,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+       (floor((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS avg_price,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_suppkey
+""",
+    tags=("A5",),
+)
+def supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (M:953): mixed COUNT/COUNT-DISTINCT/SUM/AVG/MIN/MAX per entity."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_to(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       COUNT(*) AS n_rows
+FROM events
+""",
+    tags=("A8",),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (豆瓣图书推荐.md:41-45): distinct-entity cardinalities. At 100 TB
+    the documented alternative is approx_count_distinct (HLL, no global
+    shuffle of distinct values)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "column_stats",
+    oracle="""
+SELECT (floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS qty_mean,
+       (floor((STDDEV_SAMP(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS qty_std,
+       (floor((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS price_mean,
+       (floor((STDDEV_SAMP(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS price_std,
+       (floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS disc_mean,
+       (floor((MIN(l_quantity)) * 100.0 + 0.5) / 100.0) AS qty_min,
+       (floor((MAX(l_quantity)) * 100.0 + 0.5) / 100.0) AS qty_max
+FROM lineitem
+""",
+    tags=("A9",),
+)
+def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 Statistics.colStats (M:141-146): global mean/std/min/max per
+    feature column — the input to the reference's (buggy) normalizer
+    (ML2, SURVEY §7.3)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        round_to(F.avg("l_quantity"), 4).alias("qty_mean"),
+        round_to(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        round_to(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        round_to(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+        round_to(F.avg("l_discount"), 6).alias("disc_mean"),
+        round_to(F.min("l_quantity"), 2).alias("qty_min"),
+        round_to(F.max("l_quantity"), 2).alias("qty_max"),
+    )
+
+
+@query(
+    "ranked_user_activity",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT)
+         AS activity_rank
+FROM counts
+""",
+    tags=("A11", "W4"),
+)
+def ranked_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/W4 (豆瓣图书推荐.md:9-11): entities ranked by activity count.
+    The global window is a deliberate single-partition sort over the
+    ALREADY-AGGREGATED (small) frame — never over raw events."""
+    counts = load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return counts.withColumn("activity_rank", F.row_number().over(w).cast("bigint"))

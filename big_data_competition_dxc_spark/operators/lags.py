@@ -1,0 +1,126 @@
+"""Lag/lead features — the reference's signature move, both ways.
+
+The reference emulates lag/lead with shifted-date self-joins
+(流行音乐趋势预测.md:72-94, 288-293, 656-668, 968-993): copy the daily
+table with ``date := date + n`` and left-join back, NULL -> 0. Window
+``lag`` returns the previous EXISTING row instead — different semantics
+on sparse dates (SURVEY §7.1). Both forms ship here, each pinned by its
+own oracle; at scale the window form does one shuffle for all lag
+columns vs one join (3 shuffles) per lag in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to
+from ..plans.registry import query
+from ..sources import load
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) counts — the shared base (A1, M:68)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("ds"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_to(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_DAILY_CTE = """
+daily AS (
+  SELECT CAST(ts AS DATE) AS ds, user_id,
+         COUNT(*) AS n_events,
+         (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS total_value
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "lag_shifted_join",
+    oracle=f"""
+WITH {_DAILY_CTE},
+shifted AS (
+  SELECT CAST(ds + INTERVAL 1 DAY AS DATE) AS ds, user_id,
+         n_events AS prev_events
+  FROM daily
+)
+SELECT d.ds, d.user_id, d.n_events, d.total_value,
+       COALESCE(s.prev_events, 0) AS prev_events
+FROM daily d LEFT JOIN shifted s USING (ds, user_id)
+""",
+    tags=("J7", "P13", "F1"),
+)
+def lag_shifted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 exact reference semantics (M:72-94): shift the date key forward
+    one day (F1 findYesterday), left-join back, fill NULL with 0 (P13,
+    the replace("null","0") hack at M:299) — a missing prior CALENDAR day
+    yields 0, not the last existing row."""
+    daily = _daily(spark, sf_dir)
+    shifted = daily.select(
+        F.date_add("ds", 1).alias("ds"),
+        "user_id",
+        F.col("n_events").alias("prev_events"),
+    )
+    return daily.join(shifted, ["ds", "user_id"], "left").na.fill({"prev_events": 0})
+
+
+@query(
+    "lag_window",
+    oracle=f"""
+WITH {_DAILY_CTE}
+SELECT ds, user_id, n_events, total_value,
+       COALESCE(LAG(n_events) OVER w, 0) AS prev_events,
+       LEAD(n_events) OVER w AS next_events,
+       (floor((total_value - COALESCE(LAG(total_value) OVER w, 0)) * 100.0 + 0.5) / 100.0) AS value_delta
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY ds)
+""",
+    tags=("W1", "W2", "W3"),
+)
+def lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/W3 idiomatic form (SURVEY §2.5): one window per entity gives
+    lag, lead AND day-over-day delta in a single shuffle — replacing three
+    shifted-date joins (M:92-94, M:656-668, M:997-1001)."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ds")
+    prev = F.coalesce(F.lag("n_events").over(w), F.lit(0).cast("bigint"))
+    prev_val = F.coalesce(F.lag("total_value").over(w), F.lit(0.0))
+    return (
+        daily.withColumn("prev_events", prev)
+        .withColumn("next_events", F.lead("n_events").over(w))
+        .withColumn("value_delta", round_to(F.col("total_value") - prev_val, 2))
+    )
+
+
+@query(
+    "rolling_7d_window",
+    oracle=f"""
+WITH {_DAILY_CTE}
+SELECT ds, user_id, n_events,
+       CAST(SUM(n_events) OVER (
+         PARTITION BY user_id ORDER BY ds
+         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS events_7d
+FROM daily
+""",
+    tags=("W1", "frame"),
+)
+def rolling_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day sum via RANGE frame — the natural extension of the
+    reference's 10/20/40-day point lookbacks (M:968-993, SURVEY §2.5).
+    RANGE (not ROWS) so sparse dates aggregate the true calendar window."""
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date("ds"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "ds", "user_id", "n_events", F.sum("n_events").over(w).alias("events_7d")
+    )

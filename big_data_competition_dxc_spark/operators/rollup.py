@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import ORACLE_DAYOFWEEK, ORACLE_HOUR_BUCKET4, day_of_week, hour_bucket4
+from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
 
@@ -26,7 +27,7 @@ daily AS (
   SELECT CAST(ts AS DATE) AS ds, user_id,
          {pivots},
          COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS total_value
+         {sum_value} AS total_value
   FROM deduped
   GROUP BY 1, 2
 )
@@ -41,6 +42,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ds)
         for t in EVENT_TYPES
     ),
     cols=", ".join(f"n_{t}" for t in EVENT_TYPES),
+    sum_value=sql_round("SUM(value)", 2),
 )
 
 
@@ -56,7 +58,7 @@ def daily_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         events.dropDuplicates()
         .groupBy(F.to_date("ts").alias("ds"), "user_id")
-        .agg(*pivots, F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(*pivots, F.count("*").alias("n_events"), round_to(F.sum("value"), 2).alias("total_value"))
     )
     w = Window.partitionBy("user_id").orderBy("ds")
     prev = F.coalesce(F.lag("n_click").over(w), F.lit(0).cast("bigint"))
@@ -74,7 +76,7 @@ _HOUR_BUCKET_ORACLE = f"""
 SELECT CAST(ts AS DATE) AS ds,
        {ORACLE_HOUR_BUCKET4.format(h='hour(ts)')} AS hour_bucket,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       {sql_round("SUM(value)", 2)} AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -89,7 +91,7 @@ def hour_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.withColumn("hour_bucket", hour_bucket4(F.hour("ts")))
         .groupBy(F.to_date("ts").alias("ds"), "hour_bucket")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), round_to(F.sum("value"), 2).alias("total_value"))
     )
 
 
@@ -97,7 +99,7 @@ _DOW_ORACLE = f"""
 SELECT {ORACLE_DAYOFWEEK.format(col='CAST(ts AS DATE)')} AS dow,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 4) AS avg_value
+       {sql_round("AVG(value)", 4)} AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -111,5 +113,5 @@ def dayofweek_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.withColumn("dow", day_of_week(F.to_date("ts")))
         .groupBy("dow", "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count("*").alias("n_events"), round_to(F.avg("value"), 4).alias("avg_value"))
     )

@@ -20,7 +20,7 @@ ORACLE_QUERIES = sorted(n for n, e in plans.QUERIES.items() if e.oracle is not N
 
 def _canon(val):
     if val is None:
-        return None
+        return "NULL"
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
