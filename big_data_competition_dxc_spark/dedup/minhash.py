@@ -1,0 +1,213 @@
+"""MinHash + LSH banding near-dup candidate generation — the scale path
+for deduplication: cost is linear in corpus size (explode shingles, one
+groupBy, one band-bucket self-join on tiny keys), vs the exact Jaccard
+join whose worst case is quadratic in shingle collisions.
+
+Portable hashing: ONE md5 per shingle gives a 60-bit base integer
+(identical in Spark ``conv(substr(md5(..),1,15),16,10)`` and DuckDB
+``('0x' || substr(md5(..),1,15))::BIGINT``); the NUM_HASHES family is
+the classic affine LCG h_i(x) = (a_i*x + b_i) mod P over that base —
+pure bigint arithmetic, bit-identical across engines (unlike
+seed-dependent xxhash/murmur), and 16x cheaper than hashing per seed.
+
+Pipeline: 3-word shingles -> NUM_HASHES minhash signature -> NUM_BANDS
+bands of ROWS_PER_BAND -> md5 band key -> self-join on (band, key) ->
+distinct candidate pairs -> exact-Jaccard verification (>= 0.5).
+With 16 hashes in 4x4 bands, P(candidate) = 1-(1-J^4)^4: J=0.8 -> 0.87,
+J=0.5 -> 0.23 — tune NUM_BANDS/ROWS for the target threshold at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from ..sources import load
+from .jaccard import JACCARD_THRESHOLD, SQL_SHINGLES, word_shingles
+
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+HASH_MOD = 1_000_000_007
+
+
+def _a(i: int) -> int:
+    return 2 * i + 3
+
+
+def _b(i: int) -> int:
+    return 7919 * i + 1
+
+
+def _base_col(s: Column) -> Column:
+    """60-bit md5-derived base, reduced mod P (computed once per shingle)."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % HASH_MOD
+    )
+
+
+def _hash_i(i: int, x: Column) -> Column:
+    return (F.lit(_a(i)) * x + F.lit(_b(i))) % HASH_MOD
+
+
+def _signature_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(({_a(i)} * x + {_b(i)}) % {HASH_MOD}) AS h{i}"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES}) AS s FROM toks
+),
+shx AS (
+  SELECT doc_id, s,
+         (('0x' || substr(md5(s), 1, 15))::BIGINT % {HASH_MOD}) AS x
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shx GROUP BY doc_id
+)"""
+
+
+def _bands_sql() -> str:
+    rows = []
+    for b in range(NUM_BANDS):
+        cols = " || ',' || ".join(
+            f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        rows.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_CANDIDATES_ORACLE = f"""
+WITH {_signature_sql()},
+bands AS ({_bands_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@query("minhash_lsh_candidates", oracle=_CANDIDATES_ORACLE, tags=("dedup", "minhash"))
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all ROWS_PER_BAND minhashes
+    in at least one band."""
+    bands = _bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    shx = sh.withColumn("x", _base_col(F.col("s")))
+    sig = shx.groupBy("doc_id").agg(
+        *[F.min(_hash_i(i, F.col("x"))).alias(f"h{i}") for i in range(NUM_HASHES)]
+    )
+    band_rows = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        band_rows.append(
+            sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    return bands
+
+
+_VERIFIED_ORACLE = f"""
+WITH {_signature_sql()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       {sql_round("i.i * 1.0 / (sa.n + sb.n - i.i)", 4)} AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("minhash_dedup_verified", oracle=_VERIFIED_ORACLE, bench=True, tags=("dedup", "minhash"))
+def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard on the
+    candidate pairs only -> keep >= 0.5. This is the 100 TB shape: the
+    expensive exact comparison touches only LSH survivors. The exploded
+    shingle frame feeds the signature AND both sides of the verify join,
+    so it is cached (S8, M:246) instead of re-exploding the corpus 3x."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    ).cache()
+    shx = sh.withColumn("x", _base_col(F.col("s")))
+    sig = shx.groupBy("doc_id").agg(
+        *[F.min(_hash_i(i, F.col("x"))).alias(f"h{i}") for i in range(NUM_HASHES)]
+    )
+    band_rows = []
+    for bi in range(NUM_BANDS):
+        cols = [F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        band_rows.append(
+            sig.select("doc_id", F.lit(bi).alias("band"), key.alias("band_key"))
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", round_to(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,118 @@
+"""SimHash near-dup fingerprints: one 48-bit signature per document,
+near-dup = small Hamming distance.
+
+Complementary to MinHash: a SimHash fingerprint is a single BIGINT per
+doc (cheap to store/index at 100 TB); candidate pairs come from
+fingerprint-prefix bucketing or, here at test scale, a direct pairwise
+Hamming scan. Token hashing is the same portable md5->bigint trick as
+minhash.py so the full computation has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load
+
+NUM_BITS = 48
+HAMMING_THRESHOLD = 6
+
+
+_FINGERPRINT_SQL = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+  FROM toks GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS contrib
+  FROM tok_counts, (SELECT unnest(range(0, {NUM_BITS})) AS j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN contrib > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"WITH {_FINGERPRINT_SQL} SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM fp",
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document: md5-hash each distinct token (12 hex
+    chars -> 48 bits), weight each bit +count/-count, sign -> bit."""
+    fp = _fingerprints(spark, sf_dir)
+    return fp.select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    tok_counts = tok_counts.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
+    )
+    bits = (
+        tok_counts.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(NUM_BITS - 1))).alias("j"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(h >> j) & 1 = 1"), F.col("cnt")).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("contrib"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("contrib") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+_PAIRS_ORACLE = f"""
+WITH {_FINGERPRINT_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {HAMMING_THRESHOLD}
+"""
+
+
+@query("simhash_neardup_pairs", oracle=_PAIRS_ORACLE, tags=("dedup", "simhash"))
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs within Hamming distance {HAMMING_THRESHOLD} of each
+    other's SimHash. Pairwise scan at test scale; the scale path buckets
+    on fingerprint bytes (pigeonhole: distance<=6 over 4 12-bit chunks
+    guarantees an exact chunk match) before comparing."""
+    fp = _fingerprints(spark, sf_dir).select(
+        "doc_id", F.col("simhash").cast("bigint").alias("simhash")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )

@@ -1,0 +1,168 @@
+"""Embedding similarity search over the ``embeddings`` table
+(array<float>, 64-dim).
+
+Brute-force cosine is the correctness baseline (exact, O(n*q));
+sign-bit LSH bucketing is the scale path (candidates only within a
+bucket). All arithmetic is double-precision JVM expressions
+(``zip_with`` + ``aggregate`` fold in index order), mirrored exactly by
+DuckDB's ``list_dot_product`` on DOUBLE[] so similarities are
+bit-comparable before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from ..sources import load
+
+TOPK = 5
+N_QUERIES = 10
+NEARDUP_COS = 0.4
+LSH_BITS = 12
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-order double fold — matches DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_SQL_COS = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+p AS (
+  SELECT q.q_id, e.vec_id,
+         {sql_round(_SQL_COS.format(a="q.qv", b="e.v"), 4)} AS sim
+  FROM q, e WHERE e.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS BIGINT) AS rn
+  FROM p
+)
+SELECT q_id, vec_id AS neighbor_id, sim, rn FROM r WHERE rn <= {TOPK}
+""",
+    bench=True,
+    tags=("similarity", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOPK} for the first {N_QUERIES} vectors:
+    broadcast the (tiny) query set against all vectors, rank on the
+    ROUNDED similarity with vec_id tie-break (deterministic across
+    engines)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        round_to(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "sim", "rn")
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+""",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= {NEARDUP_COS}) — the
+    semantic-dedup primitive. Exact pairwise at test scale; at 100 TB the
+    pair space is pruned by lsh_bucket_stats-style bucketing first."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim >= NEARDUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round_to(sim, 4).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "lsh_bucket_stats",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         array_to_string(
+           list_transform(range(1, {LSH_BITS} + 1),
+                          i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END),
+           '') AS bucket
+  FROM e
+)
+SELECT bucket, COUNT(*) AS n_vecs,
+       MIN(vec_id) AS min_vec_id
+FROM sig GROUP BY bucket
+HAVING COUNT(*) >= 2
+""",
+    tags=("similarity", "lsh"),
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketing (the ANN scale path): signature = sign bits
+    of the first {LSH_BITS} dimensions; only same-bucket vectors become
+    candidate pairs. Returns bucket occupancy (buckets with >= 2
+    vectors = the actual candidate workload)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    sig = e.select(
+        "vec_id",
+        F.concat_ws(
+            "",
+            *[
+                F.when(F.element_at("v", i) >= 0, "1").otherwise("0")
+                for i in range(1, LSH_BITS + 1)
+            ],
+        ).alias("bucket"),
+    )
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .filter(F.col("n_vecs") >= 2)
+    )
