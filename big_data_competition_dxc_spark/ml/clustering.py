@@ -1,0 +1,136 @@
+"""Clustering pipelines (SURVEY §2.10 ML7, ML10).
+
+ML7: KMeans k=4, maxIter=50 with SSE cost and cluster assignment
+(流行音乐趋势预测.md:1088-1120 — the reference clustered artists by
+play-volume features, runs=20 is gone in `ml`; seed pins our runs).
+ML10: per-cluster model ensemble (M:1124-1217) — filter rows by
+assigned cluster id, train one GBDT per cluster, predict within the
+cluster, reassemble with unionByName (the reference's unionAll M:1217).
+
+Rows-only driver checks (no oracle): cluster ids and model outputs are
+not SQL-expressible and not value-stable across Spark versions
+(SURVEY §7.4). tests/test_ml.py self-validates shapes and metrics.
+
+Scale note: KMeans on 100 TB of embeddings is driver-orchestrated
+Lloyd iterations over the cached assembled frame — the cache and the
+k|maxIter config are the knobs; assignment (`transform`) is a narrow
+map. The per-cluster ensemble trains k models over disjoint row
+subsets of ONE cached feature table (k passes), then unions — no
+shuffle beyond each GBDT's own treeAggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.regression import GBTRegressor
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to
+from ..plans.registry import query
+from ..sources import load
+
+SEED = 42
+K = 4
+
+
+def fit_kmeans(df: DataFrame, features: str = "features", k: int = K):
+    """ML7 trainer: reference config (k=4, maxIter=50, M:1095-1099)."""
+    km = KMeans(k=k, maxIter=50, seed=SEED, featuresCol=features)
+    return km.fit(df)
+
+
+@query("ml_kmeans_embeddings", tags=("ML7",))
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML7 (M:1088-1120): KMeans k=4 over the 64-dim embeddings table;
+    returns per-cluster occupancy + SSE cost (the reference's
+    computeCost, M:1108) — shape-stable even where ids are not."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    emb = emb.cache()
+    model = fit_kmeans(emb)
+    cost = float(model.summary.trainingCost)
+    assigned = model.transform(emb)
+    out = (
+        assigned.groupBy("prediction")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            round_to(F.avg("label"), 4).alias("avg_label"),
+        )
+        .withColumn("sse_total", round_to(F.lit(cost), 2))
+        .orderBy("prediction")
+        .select(
+            F.col("prediction").alias("cluster_id"), "n_vecs", "avg_label", "sse_total"
+        )
+    )
+    rows = out.collect()  # materialize before unpersist
+    emb.unpersist()
+    return spark.createDataFrame(
+        rows, "cluster_id int, n_vecs bigint, avg_label double, sse_total double"
+    )
+
+
+@query("ml_cluster_ensemble", tags=("ML10", "ML7", "ML6", "U1"))
+def ml_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML10 (M:1124-1217): cluster users by their activity profile
+    (KMeans k=4 on aggregate features), then train one GBDT per cluster
+    on the daily feature table and evaluate within-cluster; reassemble
+    the per-cluster test predictions with unionByName (M:1217).
+    Returns one row per cluster: sizes + test MSE."""
+    from .regression import FEATURES, daily_features
+
+    feats = daily_features(spark, sf_dir).filter(F.col("label_next").isNotNull())
+    assembled = VectorAssembler(
+        inputCols=list(FEATURES), outputCol="features"
+    ).transform(feats.select(*FEATURES, "label_next", "ds", "user_id"))
+
+    # Cluster on the per-user mean profile (tiny: one row per user).
+    profile = (
+        feats.groupBy("user_id")
+        .agg(*[F.avg(c).alias(c) for c in FEATURES])
+    )
+    prof_vec = VectorAssembler(inputCols=list(FEATURES), outputCol="features").transform(
+        profile
+    )
+    km = fit_kmeans(prof_vec)
+    clusters = km.transform(prof_vec).select(
+        "user_id", F.col("prediction").alias("cluster_id")
+    )
+
+    # Broadcast the (small) user->cluster map onto the fact table.
+    data = assembled.join(F.broadcast(clusters), "user_id").cache()
+    train = data.filter(F.col("ds") < "2024-01-22")
+    test = data.filter(F.col("ds") >= "2024-01-22")
+
+    per_cluster: list[DataFrame] = []
+    for cid in range(K):
+        tr = train.filter(F.col("cluster_id") == cid)
+        te = test.filter(F.col("cluster_id") == cid)
+        if tr.isEmpty() or te.isEmpty():
+            continue
+        gbt = GBTRegressor(
+            featuresCol="features", labelCol="label_next", maxIter=10, maxDepth=5,
+            seed=SEED,
+        )
+        model = gbt.fit(tr)
+        pred = model.transform(te)
+        per_cluster.append(
+            pred.groupBy("cluster_id").agg(
+                F.count("*").alias("n_test"),
+                round_to(
+                    F.avg(F.pow(F.col("label_next") - F.col("prediction"), 2)), 4
+                ).alias("mse_test"),
+            )
+        )
+    data.unpersist()
+    out = per_cluster[0]
+    for df in per_cluster[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("cluster_id")

@@ -1,0 +1,79 @@
+"""Feature pipeline operators (SURVEY §2.10 ML1–ML3).
+
+ML1 vector assembly (Vectors.dense, 流行音乐趋势预测.md:143,174),
+ML2 standardization (M:136-153), ML3 PCA k=8 (M:164-184).
+
+Deviation note (SURVEY §7.3): the reference normalizes by dividing by
+the VARIANCE (M:149-153), not the standard deviation — a bug that
+contributed to its linear-regression failure (M:223-234). We implement
+the correct z-score via StandardScaler and document the difference
+instead of replicating it.
+
+ML queries are registered WITHOUT oracles (rows-only driver check):
+model outputs are not SQL-expressible and exact values are not
+guaranteed stable across Spark versions (SURVEY §7.4). Seeds pin OUR
+runs; the queries also self-validate (finite metrics, expected shapes)
+in tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to
+from ..plans.registry import query
+from ..sources import load
+
+FEATURE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def assemble_features(df: DataFrame, cols=FEATURE_COLS, out: str = "features") -> DataFrame:
+    """ML1: typed columns -> dense ml vector (replaces Vectors.dense rows)."""
+    return VectorAssembler(inputCols=list(cols), outputCol=out).transform(df)
+
+
+@query("ml_features_scaled", tags=("ML1", "ML2"))
+def ml_features_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML1+ML2: assemble lineitem numerics, z-score standardize
+    (withMean+withStd — the CORRECT form of the reference's
+    mean/variance normalizer, M:136-153)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *FEATURE_COLS
+    )
+    assembled = assemble_features(li)
+    scaler = StandardScaler(
+        inputCol="features", outputCol="scaled", withMean=True, withStd=True
+    )
+    model = scaler.fit(assembled)
+    out = model.transform(assembled)
+    arr = vector_to_array(F.col("scaled"))
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(arr, lambda x: round_to(x, 4)).alias("scaled_features"),
+    )
+
+
+@query("ml_pca_embeddings", tags=("ML3",))
+def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3 (M:164-184): PCA 64 -> 8 components on the embeddings table
+    (the reference went 12 -> 8 on its feature matrix). Labels ride
+    alongside, as in the reference's LabelsPoint struct (M:171-174)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    pca = PCA(k=8, inputCol="features", outputCol="pca")
+    model = pca.fit(emb)
+    arr = vector_to_array(F.col("pca"))
+    return model.transform(emb).select(
+        "vec_id",
+        "label",
+        F.transform(arr, lambda x: round_to(x, 4)).alias("pca_features"),
+    )

@@ -1,0 +1,279 @@
+"""Recommender pipelines (SURVEY §2.10 ML8, ML9; 豆瓣图书推荐.md).
+
+The reference's ratings table is (user, book, rating) triples (D:5,
+D:31-39). Our fixture equivalent: customer x part purchase intensity
+derived from orders ⨝ lineitem — rating = quantity bucketed to 1..5,
+integer-valued so every aggregate below is EXACT in IEEE doubles
+(cross-engine-deterministic before rounding).
+
+ML8 (D:23-108): pyspark.ml ALS replacing MLlib ALS.train — rank 10,
+regParam 0.01 (D:62-64), randomSplit 60/40 seed 11 (D:51), test MSE
+(D:67-82) and the hit-rate evaluation via top-k ∩ held-out (D:89-99),
+excluding already-rated items (anti-join, D:21). Rows-only check.
+
+ML9 (D:7-21, prose): user-based KNN cosine recommender, implemented
+sparse: cosine via a shared-item self-join + exact integer dot
+products — pure relational algebra, so BOTH queries carry full DuckDB
+oracles (rare for "ML": this one is SQL-expressible).
+
+Scale notes: the ratings self-join shuffles on item id — at 100 TB the
+item-grouped pair generation is the classic bottleneck; cap per-item
+fanout (popular items contribute O(n_i^2) pairs) or LSH-prune as in
+similarity/cosine.py. ALS itself is driver-orchestrated alternating
+sweeps in the JVM; the ratings frame shuffles once per side per sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.recommendation import ALS
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from ..sources import load
+
+N_QUERY_USERS = 10
+K_NEIGHBORS = 5
+TOPK_RECS = 5
+
+_RATINGS_SQL = """
+  SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+         CAST(least(5, greatest(1, CAST(floor(avg(l.l_quantity) / 10.0) AS BIGINT) + 1)) AS DOUBLE) AS rating
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+"""
+
+
+def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, item, rating) triples: quantity -> 1..5 integer-valued
+    rating (the fixture's stand-in for D:5's user::book::rate)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .agg(
+            F.least(
+                F.lit(5),
+                F.greatest(
+                    F.lit(1), (F.floor(F.avg("l_quantity") / 10.0) + 1).cast("long")
+                ),
+            )
+            .cast("double")
+            .alias("rating")
+        )
+    )
+
+
+@query(
+    "ratings_matrix_stats",
+    oracle=f"""
+WITH r AS ({_RATINGS_SQL})
+SELECT COUNT(*) AS n_ratings,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT item_id) AS n_items,
+       {sql_round('AVG(rating)', 4)} AS avg_rating
+FROM r
+""",
+    tags=("ML8", "A8"),
+)
+def ratings_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's first step: distinct-count users/books of the
+    ratings matrix (D:41-45 — 251,053 users x 76,377 books there)."""
+    r = ratings(spark, sf_dir)
+    return r.agg(
+        F.count("*").alias("n_ratings"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+        round_to(F.avg("rating"), 4).alias("avg_rating"),
+    )
+
+
+@query("ml_als_recommend", tags=("ML8", "ML13", "J8", "U2", "U4"))
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML8 (D:23-108): ALS rank=10, regParam=0.01 (D:62-64) on the 60/40
+    seed-11 split (D:51). Returns one summary row: test MSE (D:67-82)
+    plus the hit-rate evaluation — top-{TOPK_RECS} recs per user
+    (already-rated excluded via anti-join, D:21/D:91) intersected with
+    the user's held-out items (D:89-99). maxIter 20 -> 10 vs the
+    reference (fixture-scale runtime; documented deviation)."""
+    r = ratings(spark, sf_dir).cache()
+    train, test = r.randomSplit([0.6, 0.4], seed=11)
+    als = ALS(
+        rank=10,
+        maxIter=10,
+        regParam=0.01,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        seed=11,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(train)
+    mse = RegressionEvaluator(
+        labelCol="rating", predictionCol="prediction", metricName="mse"
+    ).evaluate(model.transform(test))
+
+    users = r.select("user_id").distinct()
+    recs = (
+        model.recommendForUserSubset(users, TOPK_RECS + 20)
+        .select("user_id", F.explode("recommendations").alias("rec"))
+        .select("user_id", F.col("rec.item_id").alias("item_id"))
+    )
+    # D:21: never recommend what the user already rated (train side).
+    unseen = recs.join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id())
+    topk = unseen.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOPK_RECS
+    )
+    # D:89-99: hit = recommended item actually "read" in the held-out set.
+    hits = topk.join(test.select("user_id", "item_id"), ["user_id", "item_id"]).count()
+    n_users = users.count()
+    r.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_users),
+                round(float(mse), 4),
+                int(hits),
+                round(hits / float(n_users * TOPK_RECS), 4),
+            )
+        ],
+        "n_users bigint, mse_test double, n_hits bigint, hit_rate double",
+    )
+
+
+_COS_PAIRS_SQL = f"""
+  r AS ({_RATINGS_SQL}),
+  norms AS (
+    SELECT user_id, sqrt(sum(rating * rating)) AS nrm FROM r GROUP BY user_id
+  ),
+  pairs AS (
+    SELECT a.user_id AS u, b.user_id AS v, sum(a.rating * b.rating) AS dp
+    FROM r a JOIN r b ON a.item_id = b.item_id AND a.user_id <> b.user_id
+    WHERE a.user_id <= {N_QUERY_USERS}
+    GROUP BY a.user_id, b.user_id
+  ),
+  sims AS (
+    SELECT p.u, p.v,
+           {sql_round('p.dp / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM pairs p
+    JOIN norms na ON na.user_id = p.u
+    JOIN norms nb ON nb.user_id = p.v
+  ),
+  ranked AS (
+    SELECT u, v, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY sim DESC, v) AS BIGINT) AS rn
+    FROM sims
+  )
+"""
+
+
+def _user_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse user-user cosine: shared-item self-join -> exact integer
+    dot products -> normalize. Returns (u, v, sim, rn) ranked per u."""
+    r = ratings(spark, sf_dir)
+    norms = r.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
+    )
+    a = r.select(
+        F.col("user_id").alias("u"), "item_id", F.col("rating").alias("ra")
+    ).filter(F.col("u") <= N_QUERY_USERS)
+    b = r.select(F.col("user_id").alias("v"), "item_id", F.col("rating").alias("rb"))
+    pairs = (
+        a.join(b, ["item_id"])
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum(F.col("ra") * F.col("rb")).alias("dp"))
+    )
+    sims = (
+        pairs.join(F.broadcast(norms.withColumnRenamed("user_id", "u")), "u")
+        .withColumnRenamed("nrm", "na")
+        .join(F.broadcast(norms.withColumnRenamed("user_id", "v")), "v")
+        .select(
+            "u", "v", round_to(F.col("dp") / (F.col("na") * F.col("nrm")), 4).alias("sim")
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("sim"), F.asc("v"))
+    return sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+
+
+@query(
+    "knn_user_neighbors",
+    oracle=f"""
+WITH {_COS_PAIRS_SQL}
+SELECT u AS user_id, v AS neighbor_id, sim, rn
+FROM ranked WHERE rn <= {K_NEIGHBORS}
+""",
+    tags=("ML9",),
+)
+def knn_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML9 step 1 (D:13-17): top-{K_NEIGHBORS} cosine-nearest users for
+    the first {N_QUERY_USERS} users. Fully SQL-expressible -> full
+    oracle; determinism from exact integer dot products + rounded sim +
+    id tie-break."""
+    p = _user_cosine_pairs(spark, sf_dir)
+    return (
+        p.filter(F.col("rn") <= K_NEIGHBORS)
+        .select(
+            F.col("u").alias("user_id"), F.col("v").alias("neighbor_id"), "sim", "rn"
+        )
+    )
+
+
+@query(
+    "knn_user_recommend",
+    oracle=f"""
+WITH {_COS_PAIRS_SQL},
+neigh AS (SELECT u, v, sim FROM ranked WHERE rn <= {K_NEIGHBORS}),
+r2 AS (SELECT * FROM r),
+scored AS (
+  SELECT n.u AS user_id, r2.item_id,
+         sum(n.sim * r2.rating) AS raw_score
+  FROM neigh n JOIN r2 ON r2.user_id = n.v
+  GROUP BY n.u, r2.item_id
+),
+unseen AS (
+  SELECT s.user_id, s.item_id, {sql_round('s.raw_score', 3)} AS score
+  FROM scored s
+  LEFT JOIN r2 mine ON mine.user_id = s.user_id AND mine.item_id = s.item_id
+  WHERE mine.user_id IS NULL
+),
+rr AS (
+  SELECT user_id, item_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY score DESC, item_id)
+              AS BIGINT) AS rn
+  FROM unseen
+)
+SELECT user_id, item_id, score, rn FROM rr WHERE rn <= {TOPK_RECS}
+""",
+    tags=("ML9", "J8"),
+)
+def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML9 steps 2-3 (D:17-21): similarity-weighted accumulated scores
+    from the top-{K_NEIGHBORS} neighbors' ratings, already-rated items
+    excluded (anti-join, D:21), top-{TOPK_RECS} per user."""
+    r = ratings(spark, sf_dir)
+    neigh = (
+        _user_cosine_pairs(spark, sf_dir)
+        .filter(F.col("rn") <= K_NEIGHBORS)
+        .select("u", "v", "sim")
+    )
+    scored = (
+        neigh.join(r.withColumnRenamed("user_id", "v"), "v")
+        .groupBy(F.col("u").alias("user_id"), "item_id")
+        .agg(F.sum(F.col("sim") * F.col("rating")).alias("raw_score"))
+    )
+    unseen = scored.join(r.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("item_id")
+    )
+    return (
+        unseen.select("user_id", "item_id", round_to(F.col("raw_score"), 3).alias("score"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOPK_RECS)
+    )

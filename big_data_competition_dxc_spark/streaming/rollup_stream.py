@@ -1,0 +1,99 @@
+"""Structured Streaming daily rollup (SURVEY §2.9 — flagged extension).
+
+The reference has no streaming (its "time series" is daily-batch rows,
+流行音乐趋势预测.md:5,68). This module demonstrates the SAME daily-rollup
+semantics as operators/rollup.py expressed as a Structured Streaming
+plan: readStream over the events parquet -> 1-day tumbling window
+(F.window) with a watermark for late data -> counts + sums per
+(day, event_type).
+
+Run with Trigger.availableNow into a memory sink, the stream processes
+the full fixture exactly once and terminates — so the result is
+batch-comparable and the query carries a FULL DuckDB oracle: streaming
+and batch must agree on a bounded input (the correctness property that
+matters; the watermark only drops rows on unbounded late arrivals).
+
+Scale notes: the windowed agg keeps one state row per (window,
+event_type) in the state store — bounded by cardinality, not input
+volume; watermark "1 hour" bounds state retention on a real unbounded
+source (Kafka); `maxFilesPerTrigger` would shard a 100 TB backfill into
+incremental batches with identical results.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+
+
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(events) -> watermark -> 1-day window x event_type agg,
+    drained with availableNow into a memory sink; returns the sink."""
+    # FileStreamSource requires a DIRECTORY (it derives basePath from
+    # it); the fixture is a single parquet file, so stage a symlink dir
+    # — exactly how an unbounded ingest dir would look in production.
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    # Same TIMESTAMP(NANOS) workaround as sources/io.py: read ns as
+    # long, convert to timestamp in-plan (lossless at fixture precision).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_to(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("ds"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Memory-sink contents are driver-local and small (one row per
+    # (day, event_type)); snapshot them into a plain DataFrame.
+    rows = spark.table(sink).collect()
+    return spark.createDataFrame(
+        rows, "ds date, event_type string, n_events bigint, total_value double"
+    )
+
+
+query(
+    "streaming_daily_rollup",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS ds, event_type,
+       COUNT(*) AS n_events,
+       {sql_round("SUM(value)", 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)(streaming_daily_rollup)

@@ -1,0 +1,80 @@
+"""Rows-only self-validation for the ML surface (SURVEY §5.2): fixed
+seeds, finite metrics, expected shapes — mirroring the reference's own
+evaluation style (train/held-out MSE, cluster occupancy, hit-rate)."""
+
+from __future__ import annotations
+
+import math
+
+from big_data_competition_dxc_spark import plans
+
+from conftest import SF_TEST_DIR
+
+plans.load_all()
+
+
+def _run(name, spark):
+    return plans.QUERIES[name].fn(spark, SF_TEST_DIR)
+
+
+def test_features_scaled(spark):
+    rows = _run("ml_features_scaled", spark).collect()
+    assert len(rows) > 0
+    assert all(len(r["scaled_features"]) == 4 for r in rows[:20])
+
+
+def test_pca_embeddings(spark):
+    rows = _run("ml_pca_embeddings", spark).collect()
+    assert len(rows) > 0
+    assert all(len(r["pca_features"]) == 8 for r in rows[:20])
+
+
+def test_linear_regression(spark):
+    [r] = _run("ml_linear_regression", spark).collect()
+    assert r["n_train"] > 0 and r["n_test"] > 0
+    # The reference's LR collapsed to ~0 weights (M:223-234); ours must
+    # actually fit: finite MSE on both splits.
+    assert math.isfinite(r["mse_train"]) and math.isfinite(r["mse_test"])
+
+
+def test_random_forest(spark):
+    rows = _run("ml_random_forest", spark).collect()
+    assert len(rows) == 7  # one per feature
+    total_imp = sum(r["importance"] for r in rows)
+    assert 0.9 < total_imp < 1.1
+    assert all(math.isfinite(r["mse_test"]) for r in rows)
+
+
+def test_gbt_horizon_blend(spark):
+    [r] = _run("ml_gbt_horizon_blend", spark).collect()
+    assert r["n_test"] > 0
+    for c in ("mse_h1", "mse_h2", "mse_blend"):
+        assert math.isfinite(r[c]) and r[c] >= 0
+
+
+def test_kmeans_embeddings(spark):
+    rows = _run("ml_kmeans_embeddings", spark).collect()
+    assert 1 <= len(rows) <= 4
+    assert sum(r["n_vecs"] for r in rows) > 0
+    assert all(r["sse_total"] > 0 for r in rows)
+
+
+def test_cluster_ensemble(spark):
+    rows = _run("ml_cluster_ensemble", spark).collect()
+    assert len(rows) >= 1
+    assert all(math.isfinite(r["mse_test"]) and r["n_test"] > 0 for r in rows)
+
+
+def test_als_recommend(spark):
+    [r] = _run("ml_als_recommend", spark).collect()
+    assert r["n_users"] > 0
+    assert math.isfinite(r["mse_test"])
+    assert 0.0 <= r["hit_rate"] <= 1.0
+
+
+def test_autoregressive_forecast(spark):
+    df = _run("ml_autoregressive_forecast", spark)
+    rows = df.collect()
+    n_users = len({r["user_id"] for r in rows})
+    assert len(rows) == n_users * 7  # HORIZON rows per user
+    assert all(r["predicted_events"] >= 0 for r in rows)
