@@ -42,7 +42,7 @@ def fit_kmeans(df: DataFrame, features: str = "features", k: int = K):
     return km.fit(df)
 
 
-@query("ml_kmeans_embeddings", tags=("ML7",))
+@query("ml_kmeans_embeddings", tags=("ML7", "S8", "S9"))
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML7 (M:1088-1120): KMeans k=4 over the 64-dim embeddings table;
     returns per-cluster occupancy + SSE cost (the reference's
@@ -77,7 +77,7 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_cluster_ensemble", tags=("ML10", "ML7", "ML6", "U1"))
+@query("ml_cluster_ensemble", tags=("ML10", "ML7", "ML6", "U1", "S8"))
 def ml_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML10 (M:1124-1217): cluster users by their activity profile
     (KMeans k=4 on aggregate features), then train one GBDT per cluster

@@ -31,7 +31,7 @@ from ..plans.registry import query
 HORIZON = 7
 
 
-@query("ml_autoregressive_forecast", tags=("ML12", "S6", "S9"))
+@query("ml_autoregressive_forecast", tags=("ML12", "S6", "S7", "S9", "F20"))
 def ml_autoregressive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML12 (M:407-522): train LR on the daily feature table, collect
     the final-day state per user (small), roll {HORIZON} days forward on
@@ -78,6 +78,9 @@ def ml_autoregressive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             state[idx["prev_events"]] = state[idx["n_events"]]
             state[idx["n_events"]] = pred
             state[idx["dow"]] = float(ds.isoweekday() % 7 + 1)  # Sunday=1 (F5)
+            # F20 (M:472): the reference bumped a cumulative feature by
+            # a constant per simulated day; total_value accrues likewise.
+            state[idx["total_value"]] += 5.0
     return spark.createDataFrame(
         out_rows, "user_id bigint, horizon int, ds string, predicted_events double"
     ).orderBy("user_id", "horizon")

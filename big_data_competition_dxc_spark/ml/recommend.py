@@ -93,7 +93,7 @@ def ratings_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_als_recommend", tags=("ML8", "ML13", "J8", "U2", "U4"))
+@query("ml_als_recommend", tags=("ML8", "ML13", "J8", "U2", "U4", "S8"))
 def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML8 (D:23-108): ALS rank=10, regParam=0.01 (D:62-64) on the 60/40
     seed-11 split (D:51). Returns one summary row: test MSE (D:67-82)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to
+from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
 
@@ -152,3 +152,46 @@ def ranked_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
     w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
     return counts.withColumn("activity_rank", F.row_number().over(w).cast("bigint"))
+
+
+@query(
+    "wide_key_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST(l_quantity >= 25 AS INT) AS bulk_flag,
+       CAST(l_discount > 0.05 AS INT) AS discounted_flag,
+       CAST(l_tax > 0.04 AS INT) AS taxed_flag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_round('SUM(l_extendedprice)', 2)} AS sum_price,
+       {sql_round('AVG(l_quantity)', 4)} AS avg_qty
+FROM lineitem
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+""",
+    tags=("A3",),
+)
+def wide_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (M:124): aggregation over a WIDE composite grouping key — the
+    reference grouped by 16 columns (every non-aggregated column,
+    including already-aggregated values; a smell, but a real workload
+    shape). Seven grouping keys incl. derived flags; at scale the
+    high-cardinality composite key is exactly what AQE partition
+    coalescing handles after the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+            (F.col("l_quantity") >= 25).cast("int").alias("bulk_flag"),
+            (F.col("l_discount") > 0.05).cast("int").alias("discounted_flag"),
+            (F.col("l_tax") > 0.04).cast("int").alias("taxed_flag"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            round_to(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )

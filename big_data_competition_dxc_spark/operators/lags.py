@@ -54,13 +54,15 @@ SELECT d.ds, d.user_id, d.n_events, d.total_value,
        COALESCE(s.prev_events, 0) AS prev_events
 FROM daily d LEFT JOIN shifted s USING (ds, user_id)
 """,
-    tags=("J7", "P13", "F1"),
+    tags=("J7", "J2", "J5", "P1", "P13", "F1", "F13"),
 )
 def lag_shifted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 exact reference semantics (M:72-94): shift the date key forward
-    one day (F1 findYesterday), left-join back, fill NULL with 0 (P13,
-    the replace("null","0") hack at M:299) — a missing prior CALENDAR day
-    yields 0, not the last existing row."""
+    one day (F1 findYesterday), left-join back on the composite
+    (date, entity) key (J2) keeping all columns unprojected (J5,
+    M:1006), fill NULL with 0 (P13/F13, the replace("null","0") hack at
+    M:299) — a missing prior CALENDAR day yields 0, not the last
+    existing row. The renamed projection feeding the join is P1."""
     daily = _daily(spark, sf_dir)
     shifted = daily.select(
         F.date_add("ds", 1).alias("ds"),

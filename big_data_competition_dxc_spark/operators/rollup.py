@@ -67,7 +67,7 @@ def daily_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-query("daily_rollup", oracle=_DAILY_ROLLUP_ORACLE, bench=True, tags=("A2", "A6", "A7", "W1", "W3"))(
+query("daily_rollup", oracle=_DAILY_ROLLUP_ORACLE, bench=True, tags=("A2", "A6", "A7", "W1", "W3", "F19"))(
     daily_user_rollup
 )
 
@@ -114,4 +114,30 @@ def dayofweek_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withColumn("dow", day_of_week(F.to_date("ts")))
         .groupBy("dow", "event_type")
         .agg(F.count("*").alias("n_events"), round_to(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+_DAYPART_ORACLE = f"""
+SELECT user_id,
+       CAST(SUM(CASE WHEN hour(ts) < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+       CAST(SUM(CASE WHEN hour(ts) < 8 THEN 0 ELSE 1 END) AS BIGINT) AS n_late,
+       {sql_round("SUM(CASE WHEN hour(ts) < 8 THEN value ELSE 0 END)", 2)} AS early_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("daypart_binary_rollup", oracle=_DAYPART_ORACLE, tags=("P12", "F10", "P11", "A2"))
+def daypart_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/F10 getTimes binary time-of-day split (M:115,119): hour < 8
+    decomposed into (1,0)/(0,1) flag pairs, then summed per user — the
+    reference's morning/rest-of-day feature pair."""
+    events = load(spark, sf_dir, "events")
+    early = F.when(F.hour("ts") < 8, 1).otherwise(0)
+    return events.groupBy("user_id").agg(
+        F.sum(early).cast("bigint").alias("n_early"),
+        F.sum(1 - early).cast("bigint").alias("n_late"),
+        round_to(F.sum(F.when(F.hour("ts") < 8, F.col("value")).otherwise(0.0)), 2).alias(
+            "early_value"
+        ),
     )

@@ -13,6 +13,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.filters",
         "big_data_competition_dxc_spark.operators.setops",
         "big_data_competition_dxc_spark.operators.topk",
+        "big_data_competition_dxc_spark.sources.roundtrip",
         "big_data_competition_dxc_spark.functions.datequeries",
         "big_data_competition_dxc_spark.functions.stringqueries",
         "big_data_competition_dxc_spark.dedup.exact",

@@ -1,0 +1,188 @@
+"""Source/sink round-trips (SURVEY §2.1 S1–S4, S7; §2.2 P6, P14).
+
+The reference's pipelines constantly materialize to disk and re-ingest:
+text sinks + re-parse (流行音乐趋势预测.md:98→106, 257→260), parquet
+checkpoints (M:129→132, 156→160), CSV-with-arity-filter ingestion
+(M:29-31, 38-40). These queries prove the same round-trips preserve
+semantics in our engine: each derives its input from a fixture table,
+writes it through the sink under test into a scratch dir, re-reads, and
+aggregates — so the DuckDB oracle (which sees only the original
+parquet) matches exactly iff the round-trip is lossless.
+
+Scale notes: the parquet checkpoint writes `partitionBy(ds)` — the
+layout that gives partition pruning on the re-read (the reference's
+`repartition(1)` single-file habit is the anti-pattern we replace,
+SURVEY §4). Writers shown here run `coalesce(1)` ONLY because the
+fixture output is tiny; the partitioned form is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from . import load
+
+_ORDERS_AGG_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_round('SUM(o_totalprice)', 2)} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "csv_roundtrip_malformed",
+    oracle=_ORDERS_AGG_ORACLE,
+    tags=("S1", "S4", "P6", "P14"),
+)
+def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S4 (M:29-31 textFile→split→arity filter; M:98 saveAsTextFile):
+    export orders to CSV, append malformed short/long/bad-typed rows,
+    re-ingest with the reference's LITERAL parse shape — text lines →
+    split(",") → arity filter (P6, `filter(e.length==4)` M:40) → typed
+    casts (P14) with cast-failure rows dropped (what CSV DROPMALFORMED
+    does for type errors; token-count errors need the explicit arity
+    filter on modern Spark, which is permissive about them). Oracle sees
+    only the clean parquet — parity holds iff all three dirty rows are
+    dropped and types survive the text round-trip."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    orders.coalesce(1).write.mode("overwrite").csv(out)
+    # Inject malformed rows (wrong arity / wrong types) — the reference's
+    # raw inputs contained these and silently dropped them (M:31, M:40).
+    part = next(p for p in os.listdir(out) if p.startswith("part-"))
+    with open(f"{out}/{part}", "a") as f:
+        f.write("garbage,row\n")
+        f.write("1,2,3,4,5,6,7,8,9\n")
+        f.write("notanint,5,O,1.0\n")
+    # drop Hadoop's checksum sidecars — stale after the append
+    for p in os.listdir(out):
+        if p.endswith(".crc"):
+            os.remove(f"{out}/{p}")
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), ",")
+    parsed = (
+        lines.filter(F.size(parts) == 4)  # P6: the arity filter, verbatim
+        .select(
+            # try_cast: ANSI mode throws on bad input; NULL-then-drop
+            # reproduces the reference's silent bad-row behavior (P14)
+            parts[0].try_cast("long").alias("o_orderkey"),
+            parts[1].try_cast("long").alias("o_custkey"),
+            parts[2].alias("o_orderstatus"),
+            parts[3].try_cast("double").alias("o_totalprice"),
+        )
+        .filter(F.col("o_orderkey").isNotNull())  # cast-failure drop
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        round_to(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "parquet_partitioned_roundtrip",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS ds, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {sql_round('SUM(value)', 2)} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT ds, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       {sql_round('SUM(total_value)', 2)} AS total_value
+FROM daily WHERE ds >= DATE '2024-01-10' GROUP BY ds
+""",
+    tags=("S2", "S3", "P3"),
+)
+def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3 (M:129→132 write.parquet / read.parquet checkpoint), done
+    the scale-correct way: `partitionBy(ds)` on write, so the re-read's
+    `ds >=` filter prunes whole partitions (checked in test_plans) —
+    vs the reference's repartition(1) single file."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("ds"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        round_to(F.sum("value"), 2).alias("total_value"),
+    )
+    out = tempfile.mkdtemp(prefix="pq_rt_")
+    daily.write.mode("overwrite").partitionBy("ds").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("ds") >= F.lit("2024-01-10").cast("date"))
+        .groupBy("ds")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("n_events").alias("n_events"),
+            round_to(F.sum("total_value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "local_rows_to_df",
+    oracle="""
+WITH ranges AS (
+  SELECT * FROM (VALUES ('small', 0.0, 100.0), ('mid', 100.0, 150.0),
+                        ('large', 150.0, 1e9)) AS t(bucket, lo, hi)
+)
+SELECT r.bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+GROUP BY r.bucket
+""",
+    tags=("S7", "J3"),
+)
+def local_rows_to_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (D:91-93 sc.makeRDD of driver-local results): lift a small
+    driver-side list into a DataFrame (createDataFrame), broadcast it as
+    a range-condition dim against the fact table — the standard pattern
+    for driver-computed lookup tables."""
+    ranges = spark.createDataFrame(
+        [("small", 0.0, 100.0), ("mid", 100.0, 150.0), ("large", 150.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(ranges),
+            (ev.value >= ranges.lo) & (ev.value < ranges.hi),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "sql_templated_peek",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY event_id
+LIMIT 1
+""",
+    tags=("F16", "O4", "P2", "S5"),
+)
+def sql_templated_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 (D:95 String.format SQL) + O4 (first()/peek, M:133 etc.):
+    parameterized spark.sql — named-parameter binding instead of the
+    reference's injection-prone string template — returning the first
+    row by deterministic order."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_type = :etype
+        ORDER BY event_id LIMIT 1
+        """,
+        args={"etype": "purchase"},
+    )

@@ -1,0 +1,78 @@
+"""Physical-plan quality gates (SURVEY §4): the scale properties the
+engine promises — predicate pushdown to the parquet scan, column
+pruning, broadcast joins for dims, whole-stage codegen, partition
+pruning on partitioned layouts — asserted on the actual executed plans,
+not taken on faith."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_competition_dxc_spark import plans
+from big_data_competition_dxc_spark.sources import load
+
+from conftest import SF_TEST_DIR
+
+plans.load_all()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = plans.QUERIES["pricing_summary"].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning(spark):
+    df = load(spark, SF_TEST_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    df = plans.QUERIES["join_left_broadcast"].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen(spark):
+    df = plans.QUERIES["daily_rollup"].fn(spark, SF_TEST_DIR)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # whole-stage-codegen span markers
+    # the whole pipeline is JVM expressions — no Python row boundary
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_cartesian_in_relational_queries(spark):
+    # Theta-join (J3) must be planned as an equi-hash join, not a
+    # nested-loop cross product (SURVEY §2.3).
+    df = plans.QUERIES["join_theta_sql"].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_on_partitioned_parquet(spark, tmp_path):
+    ev = load(spark, SF_TEST_DIR, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("ds"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = str(tmp_path / "pq")
+    daily.write.mode("overwrite").partitionBy("ds").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("ds") >= "2024-01-10")
+    plan = _formatted(back)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "ds" in pf  # the date predicate prunes partitions, not rows
