@@ -20,9 +20,12 @@ SHINGLE_WORDS = 3
 JACCARD_THRESHOLD = 0.5
 
 
-def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
-    """Distinct k-word shingles of a text column (JVM higher-order fns)."""
-    toks = F.split(F.trim(text), r"\s+")
+def word_shingles(toks: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles over a PRE-SPLIT tokens column (JVM
+    higher-order fns). The tokens MUST be materialized in their own
+    projection first (see shingle_rows): inlining split() here would
+    re-tokenize the full text for every element_at inside the lambda —
+    O(words^2) per document."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - F.lit(k - 1))
     sh = F.transform(
@@ -31,6 +34,15 @@ def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
     # sequence(1, m) with m < 1 counts DOWN in Spark — guard short docs.
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingle_rows(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """documents -> (doc_id, s) exploded shingle rows, tokenizing once
+    per document in a separate projection."""
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), k)).alias("s")
     )
 
 
@@ -68,9 +80,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants true near-dups up to J=0.99). Join-on-shingle keeps the
     candidate set sparse; the shuffle key is the shingle string."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
-    )
+    sh = shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
-from .jaccard import JACCARD_THRESHOLD, SQL_SHINGLES, word_shingles
+from .jaccard import JACCARD_THRESHOLD, SQL_SHINGLES, shingle_rows
 
 NUM_HASHES = 16
 NUM_BANDS = 4
@@ -115,24 +115,33 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+def _signature(sh: DataFrame) -> DataFrame:
+    """Exploded shingles -> one row per doc with NUM_HASHES min-hash cols."""
     shx = sh.withColumn("x", _base_col(F.col("s")))
-    sig = shx.groupBy("doc_id").agg(
+    return shx.groupBy("doc_id").agg(
         *[F.min(_hash_i(i, F.col("x"))).alias(f"h{i}") for i in range(NUM_HASHES)]
     )
-    band_rows = []
-    for b in range(NUM_BANDS):
-        cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        band_rows.append(
-            sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """One pass over the signature emitting all NUM_BANDS (band, key)
+    rows via stack() — NOT a union of per-band projections, which would
+    recompute the whole upstream signature aggregation once per band."""
+    keys = []
+    for bi in range(NUM_BANDS):
+        cols = [F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        keys.append(
+            F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(f"k{bi}")
         )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
-    return bands
+    keyed = sig.select("doc_id", *keys)
+    stack_args = ", ".join(f"{bi}, k{bi}" for bi in range(NUM_BANDS))
+    return keyed.selectExpr(
+        "doc_id", f"stack({NUM_BANDS}, {stack_args}) as (band, band_key)"
+    )
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _band_rows(_signature(shingle_rows(load(spark, sf_dir, "documents"))))
 
 
 _VERIFIED_ORACLE = f"""
@@ -167,24 +176,8 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive exact comparison touches only LSH survivors. The exploded
     shingle frame feeds the signature AND both sides of the verify join,
     so it is cached (S8, M:246) instead of re-exploding the corpus 3x."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
-    ).cache()
-    shx = sh.withColumn("x", _base_col(F.col("s")))
-    sig = shx.groupBy("doc_id").agg(
-        *[F.min(_hash_i(i, F.col("x"))).alias(f"h{i}") for i in range(NUM_HASHES)]
-    )
-    band_rows = []
-    for bi in range(NUM_BANDS):
-        cols = [F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        band_rows.append(
-            sig.select("doc_id", F.lit(bi).alias("band"), key.alias("band_key"))
-        )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+    sh = shingle_rows(load(spark, sf_dir, "documents")).cache()
+    bands = _band_rows(_signature(sh))
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (
         ba.join(

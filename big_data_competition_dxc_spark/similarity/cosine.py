@@ -73,18 +73,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines)."""
     from pyspark.sql import Window
 
+    # Precompute each vector's norm ONCE (same fold expression the
+    # per-pair form would use, so results are bit-identical) — per-pair
+    # work drops from 3 O(dim) folds to 1. At 100 TB this is the
+    # difference between reading the corpus once and three times.
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    e = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select(
-        "q_id",
-        "vec_id",
-        round_to(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
-    )
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = pairs.select("q_id", "vec_id", round_to(sim, 4).alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -111,8 +115,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    e = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     a, b = e.alias("a"), e.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(sim >= NEARDUP_COS)
