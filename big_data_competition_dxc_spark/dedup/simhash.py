@@ -96,23 +96,58 @@ WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {HAMMING_THRESHOLD
 """
 
 
+NUM_CHUNKS = HAMMING_THRESHOLD + 1  # pigeonhole: >=1 chunk matches exactly
+
+
+def _chunk_bounds() -> list[tuple[int, int]]:
+    """(offset, width) per chunk, splitting NUM_BITS as evenly as possible."""
+    base, extra = divmod(NUM_BITS, NUM_CHUNKS)
+    bounds, off = [], 0
+    for c in range(NUM_CHUNKS):
+        width = base + (1 if c < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 @query("simhash_neardup_pairs", oracle=_PAIRS_ORACLE, tags=("dedup", "simhash"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs within Hamming distance {HAMMING_THRESHOLD} of each
-    other's SimHash. Pairwise scan at test scale; the scale path buckets
-    on fingerprint bytes (pigeonhole: distance<=6 over 4 12-bit chunks
-    guarantees an exact chunk match) before comparing."""
+    other's SimHash, found WITHOUT an all-pairs scan: pigeonhole — any
+    two fingerprints differing in <= {HAMMING_THRESHOLD} bits must agree
+    exactly on at least one of {NUM_CHUNKS} bit-chunks, so candidates
+    come from an equi-join on (chunk_idx, chunk_value) buckets and only
+    survivors pay the bit_count. Same result set as the oracle's
+    all-pairs form, linear-ish cost (the plan audit forbids the
+    nested-loop join the naive form would produce)."""
     fp = _fingerprints(spark, sf_dir).select(
         "doc_id", F.col("simhash").cast("bigint").alias("simhash")
     )
-    a, b = fp.alias("a"), fp.alias("b")
-    ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("int")
+    chunk_cols = [
+        F.expr(f"(simhash >> {off}) & {(1 << width) - 1}").alias(f"c{i}")
+        for i, (off, width) in enumerate(_chunk_bounds())
+    ]
+    keyed = fp.select("doc_id", "simhash", *chunk_cols)
+    stack_args = ", ".join(f"{i}, c{i}" for i in range(NUM_CHUNKS))
+    buckets = keyed.selectExpr(
+        "doc_id", "simhash", f"stack({NUM_CHUNKS}, {stack_args}) as (chunk, key)"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.simhash").alias("sim_b"),
+    )
+    # a pair can share several chunks -> dedup before scoring
+    cand = cand.distinct()
+    ham = F.expr("bit_count(sim_a ^ sim_b)").cast("int")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
     )

@@ -30,6 +30,8 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.ml.recommend",
         "big_data_competition_dxc_spark.ml.forecast",
         "big_data_competition_dxc_spark.streaming.rollup_stream",
+        "big_data_competition_dxc_spark.streaming.sessionize",
+        "big_data_competition_dxc_spark.streaming.stateful",
     ):
         try:
             __import__(modpath)

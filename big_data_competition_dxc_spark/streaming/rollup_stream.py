@@ -33,29 +33,34 @@ from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 
 
-def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream(events) -> watermark -> 1-day window x event_type agg,
-    drained with availableNow into a memory sink; returns the sink."""
-    # FileStreamSource requires a DIRECTORY (it derives basePath from
-    # it); the fixture is a single parquet file, so stage a symlink dir
-    # — exactly how an unbounded ingest dir would look in production.
+def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture.
+
+    FileStreamSource requires a DIRECTORY (it derives basePath from
+    it); the fixture is a single parquet file, so stage a symlink dir —
+    exactly how an unbounded ingest dir would look in production. Same
+    TIMESTAMP(NANOS) workaround as sources/io.py: read ns as long,
+    convert to timestamp in-plan (lossless at fixture precision)."""
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
     )
-    # Same TIMESTAMP(NANOS) workaround as sources/io.py: read ns as
-    # long, convert to timestamp in-plan (lossless at fixture precision).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = (
         "event_id bigint, ts bigint, user_id bigint, "
         "event_type string, value double, props string"
     )
-    stream = (
+    return (
         spark.readStream.schema(raw_schema)
         .parquet(stage)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
     )
+
+
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(events) -> watermark -> 1-day window x event_type agg,
+    drained with availableNow into a memory sink; returns the sink."""
+    stream = staged_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
         stream.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(

@@ -1,0 +1,131 @@
+"""Sessionization: gap-based event sessions, batch AND streaming.
+
+Beyond the reference surface (its events are daily-batch rows), but the
+canonical stateful operator a 100 TB event pipeline needs. Two
+implementations of the SAME semantics (30-minute inactivity gap),
+cross-checked against one DuckDB gaps-and-islands oracle:
+
+- batch: lag -> new-session flag -> running sum (islands) -> group.
+  One window + one agg = two shuffles on user_id.
+- streaming: Spark's native ``session_window`` state-store operator,
+  drained with availableNow into a memory sink. Run in complete mode
+  so the bounded-input result is the full session set (production
+  would use a watermark + append and accept that sessions inside the
+  watermark horizon stay open; state per key is one open session).
+
+Scale notes: both forms shuffle on user_id only; session state is
+bounded by active users, not event volume. Skewed hot users are the
+risk — AQE skew splitting for the batch window, state-store partition
+count for the stream.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from ..sources import load
+
+GAP_MINUTES = 30
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {GAP_MINUTES} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_round('SUM(value)', 2)} AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@query("sessionize_batch", oracle=_SESSION_ORACLE, tags=("W1", "A2", "sessionize"))
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands: a new session starts after a
+    {GAP_MINUTES}-minute silence; islands numbered by a running sum of
+    the new-session flag, then rolled up."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = GAP_MINUTES * 60
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > gap_s
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        round_to(F.sum("value"), 2).alias("total_value"),
+    ).drop("sid")
+
+
+@query("sessionize_stream", oracle=_SESSION_ORACLE, tags=("streaming", "sessionize"))
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with the native ``session_window``
+    state-store operator (gap {GAP_MINUTES} min), availableNow over the
+    bounded fixture — must produce exactly the batch/oracle session
+    set. session_window.start == min(ts); the true last-event time is
+    carried as max(ts) (window.end would add the gap)."""
+    from .rollup_stream import staged_events_stream
+
+    stream = staged_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{GAP_MINUTES} minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            round_to(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, total_value double",
+    )

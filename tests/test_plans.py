@@ -76,3 +76,50 @@ def test_partition_pruning_on_partitioned_parquet(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "ds" in pf  # the date predicate prunes partitions, not rows
+
+
+# ---- engine-wide plan audit -------------------------------------------------
+# Every relational query's optimized plan is swept for scale red flags.
+# ML/streaming/stub queries are excluded (they execute jobs or train
+# models at plan-build time); Pandas-UDF queries are allowed their
+# ArrowEvalPython node but nothing else is.
+
+_AUDIT_EXCLUDE_TAGS = {"ML", "streaming", "stub"}
+# non-equi all-pairs / range joins where a broadcast nested-loop join
+# IS the intended plan (small side broadcast, big side streamed):
+_BNLJ_OK = {
+    "embedding_neardup_pairs",  # all-pairs baseline (LSH variant is the scale path)
+    "ann_cosine_topk",          # tiny query set broadcast vs corpus
+    "local_rows_to_df",         # range-bucket dim broadcast
+}
+
+
+def _auditable():
+    names = []
+    for name, e in plans.QUERIES.items():
+        tags = set(e.tags)
+        if any(t.startswith("ML") for t in tags):
+            continue
+        if tags & _AUDIT_EXCLUDE_TAGS:
+            continue
+        names.append(name)
+    return sorted(names)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", _auditable())
+def test_plan_audit(name, spark):
+    entry = plans.QUERIES[name]
+    df = entry.fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join"
+        )
+    if "pandas-udf" not in entry.tags:
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name}: Python eval in a relational path"
+        )
