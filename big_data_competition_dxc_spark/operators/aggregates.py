@@ -195,3 +195,54 @@ def wide_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
     )
+
+
+@query(
+    "cube_status_priority",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_round('SUM(o_totalprice)', 2)} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("A4", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set combinations
+    in one pass — beyond the reference surface (it has no grouping
+    sets, SURVEY §2.4) but table stakes for an OLAP engine. Spark plans
+    this as a single Expand + aggregate (rows x 4), one shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        round_to(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "percentile_prices",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_round('quantile_cont(l_extendedprice, 0.25)', 4)} AS p25,
+       {sql_round('quantile_cont(l_extendedprice, 0.50)', 4)} AS p50,
+       {sql_round('quantile_cont(l_extendedprice, 0.90)', 4)} AS p90,
+       {sql_round('quantile_cont(l_extendedprice, 0.99)', 4)} AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("A9", "percentile"),
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (F.percentile == SQL
+    PERCENTILE_CONT == DuckDB quantile_cont). At 100 TB the documented
+    swap is approx_percentile(col, p, accuracy) — one pass, bounded
+    memory, no exact sort — traded off in SCALING.md."""
+    li = load(spark, sf_dir, "lineitem")
+    pcts = {"p25": 0.25, "p50": 0.50, "p90": 0.90, "p99": 0.99}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            round_to(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
+            for name, p in pcts.items()
+        ]
+    )

@@ -1,0 +1,99 @@
+"""Shuffle-elimination strategies for fact⋈fact joins at scale:
+bucketed co-located joins and deterministic salting for skew.
+
+The reference never manages layout (everything repartition(1),
+SURVEY §4); these are the strategies a 100 TB deployment uses instead.
+Both queries produce results identical to the plain join (oracle-
+verified) — the POINT is the physical plan, which tests/test_plans.py
+asserts: the bucketed join has no Exchange, the salted join spreads a
+hot key across SALT_BUCKETS shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from ..sources import load
+
+N_BUCKETS = 8
+SALT_BUCKETS = 8
+
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_round('SUM(l.l_extendedprice)', 2)} AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both fact tables bucketed+sorted on the join key, re-read
+    via the catalog, and join — Spark recognizes the co-located layout
+    and plans the sort-merge join WITHOUT a shuffle on either side."""
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    for name, src, key in (
+        ("bt_orders", load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"), "o_orderkey"),
+        ("bt_lineitem", load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"), "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            src.write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("bt_orders")
+    l = spark.table("bt_lineitem")
+    return o.join(l, o.o_orderkey == l.l_orderkey)
+
+
+@query("bucketed_colocated_join", oracle=_BUCKETED_ORACLE, tags=("J2", "S2", "S3"))
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact via bucketed tables: the repeated-join workhorse at
+    100 TB — pay the layout shuffle once at write, join shuffle-free
+    forever after. Result identical to the plain join (the oracle)."""
+    joined = bucketed_join_frames(spark, sf_dir)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        round_to(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+_SALTED_ORACLE = f"""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_round('SUM(e.value)', 2)} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("salted_skew_join", oracle=_SALTED_ORACLE, tags=("J1", "P11"))
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation by salting, oracle-identical to the plain join:
+    the fact side gets a DETERMINISTIC salt (pmod(event_id, n)); the
+    dim side is exploded n ways so every (key, salt) pair exists; the
+    join key becomes (user_id, salt), spreading any hot user over n
+    shuffle partitions. This is the manual fallback when AQE skew
+    splitting can't help (e.g. skewed aggregation upstream)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.pmod("event_id", F.lit(SALT_BUCKETS)).alias("salt")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
+    )
+    joined = ev.join(
+        cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        round_to(F.sum("value"), 2).alias("total_value"),
+    )

@@ -14,6 +14,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.setops",
         "big_data_competition_dxc_spark.operators.topk",
         "big_data_competition_dxc_spark.sources.roundtrip",
+        "big_data_competition_dxc_spark.operators.bucketing",
         "big_data_competition_dxc_spark.functions.datequeries",
         "big_data_competition_dxc_spark.functions.stringqueries",
         "big_data_competition_dxc_spark.dedup.exact",
@@ -21,6 +22,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.dedup.simhash",
         "big_data_competition_dxc_spark.dedup.jaccard",
         "big_data_competition_dxc_spark.similarity.cosine",
+        "big_data_competition_dxc_spark.similarity.ivf",
         "big_data_competition_dxc_spark.textops.quality",
         "big_data_competition_dxc_spark.textops.langid",
         "big_data_competition_dxc_spark.multimodal.binary_ops",

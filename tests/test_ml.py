@@ -78,3 +78,15 @@ def test_autoregressive_forecast(spark):
     n_users = len({r["user_id"] for r in rows})
     assert len(rows) == n_users * 7  # HORIZON rows per user
     assert all(r["predicted_events"] >= 0 for r in rows)
+
+
+def test_ann_ivf_recall(spark):
+    rows = _run("ann_ivf_recall", spark).collect()
+    assert len(rows) == 20  # one per query vector
+    mean_recall = sum(r["recall_at_k"] for r in rows) / len(rows)
+    mean_scan = sum(r["scan_frac"] for r in rows) / len(rows)
+    # probing 4/16 cells must scan far less than the corpus while
+    # keeping usable recall — the whole point of IVF
+    assert mean_scan < 0.6
+    assert mean_recall > 0.5
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)

@@ -123,3 +123,34 @@ def test_plan_audit(name, spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name}: Python eval in a relational path"
         )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # At fixture scale the planner would broadcast (also correct);
+    # disable broadcast so the co-located-bucket SMJ — the 100 TB shape
+    # this layout exists for — is what gets planned.
+    from big_data_competition_dxc_spark.operators.bucketing import (
+        bucketed_join_frames,
+    )
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join_frames(spark, SF_TEST_DIR)
+        plan = _formatted(joined)  # physical planning happens here
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located buckets: no shuffle at all
+    assert "Bucketed: true" in plan
