@@ -110,7 +110,7 @@ def _chunk_bounds() -> list[tuple[int, int]]:
     return bounds
 
 
-@query("simhash_neardup_pairs", oracle=_PAIRS_ORACLE, tags=("dedup", "simhash"))
+@query("simhash_neardup_pairs", oracle=_PAIRS_ORACLE, bench=True, tags=("dedup", "simhash"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs within Hamming distance {HAMMING_THRESHOLD} of each
     other's SimHash, found WITHOUT an all-pairs scan: pigeonhole — any

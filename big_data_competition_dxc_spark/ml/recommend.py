@@ -173,10 +173,14 @@ _COS_PAIRS_SQL = f"""
 """
 
 
-def _user_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _user_cosine_pairs(
+    spark: SparkSession, sf_dir: str, r: DataFrame | None = None
+) -> DataFrame:
     """Sparse user-user cosine: shared-item self-join -> exact integer
-    dot products -> normalize. Returns (u, v, sim, rn) ranked per u."""
-    r = ratings(spark, sf_dir)
+    dot products -> normalize. Returns (u, v, sim, rn) ranked per u.
+    Pass a cached ratings frame to avoid re-deriving it per use site."""
+    if r is None:
+        r = ratings(spark, sf_dir)
     norms = r.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
     )
@@ -251,15 +255,18 @@ rr AS (
 )
 SELECT user_id, item_id, score, rn FROM rr WHERE rn <= {TOPK_RECS}
 """,
+    bench=True,
     tags=("ML9", "J8"),
 )
 def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML9 steps 2-3 (D:17-21): similarity-weighted accumulated scores
     from the top-{K_NEIGHBORS} neighbors' ratings, already-rated items
     excluded (anti-join, D:21), top-{TOPK_RECS} per user."""
-    r = ratings(spark, sf_dir)
+    # the ratings frame feeds the similarity self-join, the neighbor
+    # ratings, and the anti-join — cache it once (S8)
+    r = ratings(spark, sf_dir).cache()
     neigh = (
-        _user_cosine_pairs(spark, sf_dir)
+        _user_cosine_pairs(spark, sf_dir, r)
         .filter(F.col("rn") <= K_NEIGHBORS)
         .select("u", "v", "sim")
     )

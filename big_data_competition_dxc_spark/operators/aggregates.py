@@ -206,6 +206,7 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
+    bench=True,
     tags=("A4", "cube"),
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,6 +232,7 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """,
+    bench=True,
     tags=("A9", "percentile"),
 )
 def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,6 +102,7 @@ SELECT ds, CAST(COUNT(*) AS BIGINT) AS n_types,
        {sql_round('SUM(total_value)', 2)} AS total_value
 FROM daily WHERE ds >= DATE '2024-01-10' GROUP BY ds
 """,
+    bench=True,
     tags=("S2", "S3", "P3"),
 )
 def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
