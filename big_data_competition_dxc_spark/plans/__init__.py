@@ -25,6 +25,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.similarity.ivf",
         "big_data_competition_dxc_spark.textops.quality",
         "big_data_competition_dxc_spark.textops.langid",
+        "big_data_competition_dxc_spark.textops.fingerprint",
         "big_data_competition_dxc_spark.multimodal.binary_ops",
         "big_data_competition_dxc_spark.ml.features",
         "big_data_competition_dxc_spark.ml.regression",

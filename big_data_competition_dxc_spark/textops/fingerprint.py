@@ -1,0 +1,138 @@
+"""Document fingerprinting: polynomial rolling hash + winnowing.
+
+The classic local-fingerprint scheme (Schleimer/Wilkerson/Aiken
+winnowing, as used by MOSS): hash every K-char gram with a polynomial
+rolling hash, slide a W-gram window, keep each window's minimum — a
+document signature that is robust to insertions/reordering and whose
+shared entries localize matching regions (unlike SimHash/MinHash,
+which only score whole-document similarity).
+
+Hash parity: both engines fold character codes left-to-right as
+``acc*B + code (mod P)`` — identical integer sequences, so the full
+pipeline carries a DuckDB oracle. The per-gram fold here is O(K);
+production Spark would compute the true O(1)-per-position rolling
+update inside a Pandas UDF or with prefix arrays — the SQL form keeps
+the plan transparent and the oracle exact, and K is a small constant.
+
+Scale notes: fingerprinting is embarrassingly parallel per document
+(narrow until the final dedup/groupBy); the overlap join shuffles on
+the fingerprint value — cap ultra-common fingerprints (boilerplate)
+the same way common shingles are capped in the Jaccard path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load
+
+K = 8  # chars per gram
+W = 4  # grams per winnowing window
+BASE = 257
+MOD = 1_000_000_007
+MIN_SHARED = 5  # overlap-pair threshold
+
+
+def _gram_hash(text: Column, i: Column) -> Column:
+    """Polynomial hash of text[i, i+K): fold acc*B + charcode mod P."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(K - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: (acc * BASE + F.ascii(F.substring(text, i + j, 1))) % MOD,
+    )
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    idx = F.when(n >= K, F.sequence(F.lit(1), n - F.lit(K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(idx, lambda i: _gram_hash(F.col("text"), i))).alias(
+            "pos", "h"
+        ),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(W - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("win_min", F.min("h").over(w))
+        .filter(F.col("pos") >= W - 1)  # only complete windows
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+
+
+_FP_SQL = f"""
+grams AS (
+  SELECT doc_id, i AS pos,
+         list_reduce(
+           [CAST(ord(substr(text, i + j, 1)) AS BIGINT)
+            FOR j IN range(0, {K})],
+           (acc, c) -> (acc * {BASE} + c) % {MOD}) AS h
+  FROM documents, unnest(range(1, greatest(len(text) - {K - 1}, 0) + 1)) AS t(i)
+),
+winmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE rn >= {W}
+)"""
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+WITH {_FP_SQL}
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM fps GROUP BY doc_id
+""",
+    tags=("textops", "fingerprint"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing signature summary ({K}-gram rolling hash,
+    window {W}): fingerprint count + extremes — the stored index is the
+    (doc_id, fp) set itself."""
+    fps = _fingerprints(spark, sf_dir)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+@query(
+    "winnow_overlap_pairs",
+    oracle=f"""
+WITH {_FP_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_SHARED}
+""",
+    tags=("textops", "fingerprint", "dedup"),
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= {MIN_SHARED} winnowing fingerprints —
+    the copied-passage detector (shared fingerprints localize matching
+    substrings, which whole-document sketches cannot)."""
+    fps = _fingerprints(spark, sf_dir)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= MIN_SHARED)
+    )
