@@ -139,3 +139,105 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return docs.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # keep every 4th frame
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One row per sampled frame: 1->many mapInPandas (the video path).
+    Frames are fixed-width byte chunks; only complete frames count."""
+    for pdf in batches:
+        ids, idxs, sums = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_BYTES
+            for f in range(0, n_frames, FRAME_STRIDE):
+                chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                ids.append(doc_id)
+                idxs.append(f)
+                sums.append(sum(chunk) % CHECKSUM_MOD)
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(list_sum(list_transform(
+              range(f * {FRAME_BYTES} + 1, (f + 1) * {FRAME_BYTES} + 1),
+              i -> ord(substr(text, i, 1)))) % {CHECKSUM_MOD} AS BIGINT)
+         AS frame_checksum
+FROM documents,
+     unnest(range(0, length(text) // {FRAME_BYTES})) AS t(f)
+WHERE f % {FRAME_STRIDE} = 0
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the multimodal plumbing:
+    binary payload -> fixed-width frames -> every {FRAME_STRIDE}th frame
+    -> per-frame checksum rows (1->many Arrow batches). Oracle
+    recomputes the byte arithmetic over the ASCII fixture text. At
+    scale the payload column never moves to the driver; sampled-frame
+    features are the only output."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return docs.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
+RESIZE_DIM = 4
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 2 of the chained pipeline: 'resize' the decoded frame to a
+    fixed target by average-pooling the feature vector (the real path
+    would pool pixels; the pooling arithmetic and schema contract are
+    identical)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([224] * len(pdf), dtype="int32"),
+                "height": pd.Series([224] * len(pdf), dtype="int32"),
+                "feature": pdf["feature"].map(
+                    lambda v: [
+                        float(sum(v[j :: RESIZE_DIM]) / (len(v) / RESIZE_DIM))
+                        for j in range(RESIZE_DIM)
+                    ]
+                ),
+            }
+        )
+
+
+@query("multimodal_resize_stub", tags=("multimodal", "stub"))
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained multimodal stages: decode (stub) -> resize (pool to
+    {RESIZE_DIM}-dim at 224x224) as TWO mapInPandas hops — the schema
+    contract between stages is what a real decode->preprocess pipeline
+    ships across. Rows-only check (tests pin shape + determinism)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    decoded = docs.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+    return decoded.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)
