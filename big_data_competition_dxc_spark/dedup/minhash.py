@@ -198,9 +198,14 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("i"))
     )
     jac = F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
+    out = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_to(jac, 4).alias("jaccard"))
     )
+    # materialize while the shingle cache is hot, then release it (the
+    # session outlives this query; pinned caches would accumulate)
+    rows = out.collect()
+    sh.unpersist()
+    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint, jaccard double")

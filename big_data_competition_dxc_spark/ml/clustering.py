@@ -129,8 +129,15 @@ def ml_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mse_test"),
             )
         )
-    data.unpersist()
+    schema = "cluster_id int, n_test bigint, mse_test double"
+    if not per_cluster:  # degenerate split: no cluster has both sides
+        data.unpersist()
+        return spark.createDataFrame([], schema)
     out = per_cluster[0]
     for df in per_cluster[1:]:
         out = out.unionByName(df)
-    return out.orderBy("cluster_id")
+    # materialize BEFORE unpersist so the cached feature table actually
+    # serves the evaluation instead of being recomputed per branch
+    rows = out.orderBy("cluster_id").collect()
+    data.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -122,11 +122,17 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = (
         model.recommendForUserSubset(users, TOPK_RECS + 20)
         .select("user_id", F.explode("recommendations").alias("rec"))
-        .select("user_id", F.col("rec.item_id").alias("item_id"))
+        .select(
+            "user_id",
+            F.col("rec.item_id").alias("item_id"),
+            F.col("rec.rating").alias("score"),
+        )
     )
     # D:21: never recommend what the user already rated (train side).
     unseen = recs.join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
-    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id())
+    # rank by the model's predicted score (physical row order after the
+    # anti-join shuffle is arbitrary — never rank on it)
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
     topk = unseen.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= TOPK_RECS
     )
@@ -279,8 +285,13 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.desc("score"), F.asc("item_id")
     )
-    return (
+    out = (
         unseen.select("user_id", "item_id", round_to(F.col("raw_score"), 3).alias("score"))
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOPK_RECS)
+    )
+    rows = out.collect()  # materialize while the ratings cache is hot
+    r.unpersist()
+    return spark.createDataFrame(
+        rows, "user_id bigint, item_id bigint, score double, rn bigint"
     )

@@ -68,8 +68,8 @@ SELECT doc_id,
        CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) END AS b1,
        CASE WHEN length(text) >= 3 THEN ord(substr(text, 3, 1)) END AS b2,
        CASE WHEN length(text) >= 4 THEN ord(substr(text, 4, 1)) END AS b3,
-       CAST(list_sum(list_transform(range(1, least({CHECKSUM_BYTES}, length(text)) + 1),
-                     i -> ord(substr(text, i, 1)))) % {CHECKSUM_MOD} AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform(range(1, least({CHECKSUM_BYTES}, length(text)) + 1),
+                     i -> ord(substr(text, i, 1)))), 0) % {CHECKSUM_MOD} AS BIGINT)
          AS checksum
 FROM documents
 """,

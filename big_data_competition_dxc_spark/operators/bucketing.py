@@ -32,10 +32,12 @@ GROUP BY o.o_orderstatus
 """
 
 
-def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bucketed_join_frames(spark: SparkSession, sf_dir: str):
     """Write both fact tables bucketed+sorted on the join key, re-read
     via the catalog, and join — Spark recognizes the co-located layout
-    and plans the sort-merge join WITHOUT a shuffle on either side."""
+    and plans the sort-merge join WITHOUT a shuffle on either side.
+    Returns (joined_df, cleanup) — call cleanup() once the result is
+    materialized to drop the scratch tables and files."""
     base = tempfile.mkdtemp(prefix="bucketed_")
     for name, src, key in (
         ("bt_orders", load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"), "o_orderkey"),
@@ -51,7 +53,15 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     o = spark.table("bt_orders")
     l = spark.table("bt_lineitem")
-    return o.join(l, o.o_orderkey == l.l_orderkey)
+
+    def cleanup() -> None:
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+        shutil.rmtree(base, ignore_errors=True)
+
+    return o.join(l, o.o_orderkey == l.l_orderkey), cleanup
 
 
 @query("bucketed_colocated_join", oracle=_BUCKETED_ORACLE, tags=("J2", "S2", "S3"))
@@ -59,10 +69,15 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact via bucketed tables: the repeated-join workhorse at
     100 TB — pay the layout shuffle once at write, join shuffle-free
     forever after. Result identical to the plain join (the oracle)."""
-    joined = bucketed_join_frames(spark, sf_dir)
-    return joined.groupBy("o_orderstatus").agg(
+    joined, cleanup = bucketed_join_frames(spark, sf_dir)
+    out = joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_items"),
         round_to(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+    rows = out.collect()
+    cleanup()
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_items bigint, revenue double"
     )
 
 

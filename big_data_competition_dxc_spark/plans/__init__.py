@@ -36,7 +36,6 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.streaming.sessionize",
         "big_data_competition_dxc_spark.streaming.stateful",
     ):
-        try:
-            __import__(modpath)
-        except ImportError:
-            pass  # module not built yet (phased build plan, SURVEY §7)
+        # every listed module exists — a failed import is a broken build
+        # and must surface, not silently shrink the registry
+        __import__(modpath)

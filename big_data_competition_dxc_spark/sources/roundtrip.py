@@ -19,6 +19,7 @@ fixture output is tiny; the partitioned form is the 100 TB path.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,9 +83,14 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_orderkey").isNotNull())  # cast-failure drop
     )
-    return parsed.groupBy("o_orderstatus").agg(
+    agg = parsed.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         round_to(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    rows = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, total_price double"
     )
 
 
@@ -118,7 +124,7 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     out = tempfile.mkdtemp(prefix="pq_rt_")
     daily.write.mode("overwrite").partitionBy("ds").parquet(out)
     back = spark.read.parquet(out)
-    return (
+    agg = (
         back.filter(F.col("ds") >= F.lit("2024-01-10").cast("date"))
         .groupBy("ds")
         .agg(
@@ -126,6 +132,11 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_events").alias("n_events"),
             round_to(F.sum("total_value"), 2).alias("total_value"),
         )
+    )
+    rows = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ds date, n_types bigint, n_events bigint, total_value double"
     )
 
 

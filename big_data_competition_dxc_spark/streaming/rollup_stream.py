@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,14 +32,15 @@ from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 
 
-def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture.
+def staged_events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the events fixture; returns (stream_df, stage_dir).
 
     FileStreamSource requires a DIRECTORY (it derives basePath from
     it); the fixture is a single parquet file, so stage a symlink dir —
     exactly how an unbounded ingest dir would look in production. Same
     TIMESTAMP(NANOS) workaround as sources/io.py: read ns as long,
-    convert to timestamp in-plan (lossless at fixture precision)."""
+    convert to timestamp in-plan (lossless at fixture precision).
+    Remove stage_dir once the stream has terminated."""
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
@@ -50,17 +50,41 @@ def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts bigint, user_id bigint, "
         "event_type string, value double, props string"
     )
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .parquet(stage)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return stream, stage
+
+
+def drain_to_memory(spark: SparkSession, agg: DataFrame, stage: str, mode: str) -> list:
+    """Run a streaming aggregate with availableNow into a throwaway
+    memory sink, collect its rows, and clean up the sink table and the
+    staging dir."""
+    import shutil
+    import uuid as _uuid
+
+    sink = f"sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rows
 
 
 def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(events) -> watermark -> 1-day window x event_type agg,
     drained with availableNow into a memory sink; returns the sink."""
-    stream = staged_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    stream, stage = staged_events_stream(spark, sf_dir)
+    stream = stream.withWatermark("ts", "1 hour")
     agg = (
         stream.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
@@ -74,18 +98,9 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     # Memory-sink contents are driver-local and small (one row per
     # (day, event_type)); snapshot them into a plain DataFrame.
-    rows = spark.table(sink).collect()
+    rows = drain_to_memory(spark, agg, stage, "complete")
     return spark.createDataFrame(
         rows, "ds date, event_type string, n_events bigint, total_value double"
     )

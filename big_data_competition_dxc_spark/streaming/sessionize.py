@@ -21,8 +21,6 @@ count for the stream.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,14 +63,15 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_s = GAP_MINUTES * 60
+    # full-precision epoch seconds: unix_timestamp() would truncate to
+    # whole seconds and disagree with the oracle's interval compare on
+    # gaps within 1s of the threshold
+    epoch = lambda c: c.cast("double")  # noqa: E731
     flagged = ev.withColumn(
         "new_s",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > gap_s
-            ),
+            | (epoch(F.col("ts")) - epoch(F.lag("ts").over(w)) > float(gap_s)),
             1,
         ).otherwise(0),
     )
@@ -94,9 +93,9 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded fixture — must produce exactly the batch/oracle session
     set. session_window.start == min(ts); the true last-event time is
     carried as max(ts) (window.end would add the gap)."""
-    from .rollup_stream import staged_events_stream
+    from .rollup_stream import drain_to_memory, staged_events_stream
 
-    stream = staged_events_stream(spark, sf_dir)
+    stream, stage = staged_events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
             F.session_window("ts", f"{GAP_MINUTES} minutes").alias("win"), "user_id"
@@ -114,16 +113,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    sink = f"sessionize_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = spark.table(sink).collect()
+    rows = drain_to_memory(spark, agg, stage, "complete")
     return spark.createDataFrame(
         rows,
         "user_id bigint, session_start timestamp, session_end timestamp, "

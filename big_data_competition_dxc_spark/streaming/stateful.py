@@ -19,7 +19,6 @@ OPERATOR is custom, not the aggregation).
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 from typing import Any
 
@@ -69,9 +68,10 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user totals, drained with availableNow
     into a memory sink. One microbatch over the bounded fixture means
     one update per user == the batch aggregate (the oracle)."""
-    from .rollup_stream import staged_events_stream
+    from .rollup_stream import drain_to_memory, staged_events_stream
 
-    stream = staged_events_stream(spark, sf_dir).select("user_id", "value")
+    stream, stage = staged_events_stream(spark, sf_dir)
+    stream = stream.select("user_id", "value")
     updated = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType="user_id bigint, n_events bigint, total_value double",
@@ -79,16 +79,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        updated.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = spark.table(sink).collect()
+    rows = drain_to_memory(spark, updated, stage, "update")
     return spark.createDataFrame(
         rows, "user_id bigint, n_events bigint, total_value double"
     )

@@ -18,19 +18,6 @@ import time
 
 import duckdb
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
-
 
 def canon(v) -> str:
     if v is None:
@@ -54,6 +41,7 @@ def main() -> int:
     import importlib
 
     from big_data_competition_dxc_spark.session import get_spark
+    from big_data_competition_dxc_spark.sources import TABLES
 
     mod = importlib.import_module("__spark_entry__")
     spark = get_spark("driver-sim")

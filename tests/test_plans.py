@@ -140,10 +140,11 @@ def test_bucketed_join_has_no_exchange(spark):
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
         )
     }
+    cleanup = None
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        joined = bucketed_join_frames(spark, SF_TEST_DIR)
+        joined, cleanup = bucketed_join_frames(spark, SF_TEST_DIR)
         plan = _formatted(joined)  # physical planning happens here
     finally:
         for k, v in old.items():
@@ -151,6 +152,8 @@ def test_bucketed_join_has_no_exchange(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        if cleanup is not None:
+            cleanup()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located buckets: no shuffle at all
     assert "Bucketed: true" in plan
