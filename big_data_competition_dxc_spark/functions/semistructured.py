@@ -1,0 +1,168 @@
+"""Semi-structured + collection functions: JSON extraction, array
+aggregation, and the remaining join/grouping variants.
+
+Beyond the reference surface (it has no JSON/array/map functions,
+SURVEY §2.8), but required for engine completeness: the events fixture
+carries a JSON ``props`` column that a real pipeline would mine.
+
+Scale notes: get_json_object is a per-row JVM expression (codegen'd,
+no shuffle); for hot paths at 100 TB, parse ONCE with from_json into a
+struct column and prune fields — repeated get_json_object calls
+re-parse the document per call. collect_list aggregations move the
+grouped values; bounded here by per-user event-type cardinality, but
+list-of-everything aggregations over raw events are the anti-pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from ..sources import load
+
+
+@query(
+    "json_props_extract",
+    oracle=f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_round('AVG(value)', 4)} AS avg_value
+FROM events
+GROUP BY 1
+""",
+    tags=("json", "A1"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column (schema-on-read):
+    parse once with from_json into a typed struct (the scale path —
+    get_json_object would re-parse per extraction), bucket and
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            round_to(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "semi_join_active_parts",
+    oracle="""
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+""",
+    tags=("J8", "U2"),
+)
+def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the EXISTS shape): parts with at least one sale,
+    counted per brand — the dual of the anti-join; planned as a
+    broadcast/shuffled hash semi with no row duplication."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@query(
+    "full_outer_daily_activity",
+    oracle=f"""
+WITH clicks AS (
+  SELECT CAST(ts AS DATE) AS ds, user_id, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+  SELECT CAST(ts AS DATE) AS ds, user_id, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.ds, p.ds) AS ds,
+       COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases
+FROM clicks c FULL OUTER JOIN purchases p
+  ON c.ds = p.ds AND c.user_id = p.user_id
+""",
+    tags=("J2",),
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join on a composite key: daily click vs purchase
+    activity, keeping days where a user did only one of the two."""
+    ev = load(spark, sf_dir, "events")
+    daily = lambda etype, out: (  # noqa: E731
+        ev.filter(F.col("event_type") == etype)
+        .groupBy(F.to_date("ts").alias("ds"), "user_id")
+        .agg(F.count("*").alias(out))
+    )
+    c = daily("click", "n_clicks")
+    p = daily("purchase", "n_purchases")
+    return (
+        c.join(p, ["ds", "user_id"], "full_outer")
+        .select(
+            "ds",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_round('SUM(c.c_acctbal)', 2)} AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    tags=("A4", "cube"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (region -> nation -> grand total) over the
+    customer dimension snowflake — the drill-down companion to CUBE."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        round_to(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+@query(
+    "array_agg_user_types",
+    oracle="""
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+FROM events
+GROUP BY user_id
+""",
+    tags=("A8", "array"),
+)
+def array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: each user's distinct event types as a SORTED
+    array (collect_set order is nondeterministic — always sort before
+    comparing or storing)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+    )

@@ -17,6 +17,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.bucketing",
         "big_data_competition_dxc_spark.functions.datequeries",
         "big_data_competition_dxc_spark.functions.stringqueries",
+        "big_data_competition_dxc_spark.functions.semistructured",
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",
         "big_data_competition_dxc_spark.dedup.simhash",
