@@ -1,0 +1,69 @@
+"""EP1: the reference's dominant pattern — SQL on registered temp views
+(SURVEY §3) — run end-to-end as ONE multi-CTE spark.sql statement.
+
+The reference executes this as five notebook blocks with text-file
+round-trips between them (流行音乐趋势预测.md:42-98: dedup -> per-key
+counts -> when-pivot -> sum -> shifted-date self-join -> dim join);
+here the same dataflow is a single SQL statement over views, so
+Catalyst sees the whole pipeline (column pruning + pushdown cross the
+old block boundaries, SURVEY §4).
+
+The oracle is the same SQL dialect-adjusted for DuckDB — this query IS
+the parity proof for the SQL API surface (P2/S5/J1/J7/A2/A6/A7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.rounding import sql_round
+from ..plans.registry import query
+from ..sources import register_views
+
+_PIPELINE = """
+WITH deduped AS (
+  SELECT DISTINCT * FROM events              -- M:42 dedup
+),
+daily AS (                                   -- M:68-86 count + when-pivot
+  SELECT CAST(ts AS DATE) AS ds, user_id,
+         CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {total_value} AS total_value
+  FROM deduped
+  GROUP BY 1, 2
+),
+shifted AS (                                 -- M:72-94 shifted-date lag join
+  SELECT {next_day} AS ds, user_id, n_events AS prev_events
+  FROM daily
+)
+SELECT d.ds, d.user_id, c.c_mktsegment,      -- M:45 dim join
+       d.n_click, d.n_purchase, d.n_events, d.total_value,
+       CAST(COALESCE(s.prev_events, 0) AS BIGINT) AS prev_events
+FROM daily d
+LEFT JOIN shifted s ON s.ds = d.ds AND s.user_id = d.user_id
+LEFT JOIN customer c ON d.user_id = c.c_custkey
+"""
+
+
+@query(
+    "sql_pipeline_daily",
+    oracle=_PIPELINE.format(
+        total_value=sql_round("SUM(value)", 2),
+        next_day="CAST(ds + INTERVAL 1 DAY AS DATE)",
+    ),
+    tags=("P2", "S5", "J1", "J7", "A2", "A6", "A7"),
+)
+def sql_pipeline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full EP1 dataflow as one spark.sql statement over registered
+    views — identical SQL text on both engines up to the date-add
+    spelling and the divisor cast (Spark SQL parses a bare `100.0`
+    literal as DECIMAL, which would turn the rounded double into a
+    decimal column; DuckDB's is already double)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _PIPELINE.format(
+            total_value="(floor((SUM(value)) * 100.0 + 0.5) / CAST(100.0 AS DOUBLE))",
+            next_day="date_add(ds, 1)",
+        )
+    )

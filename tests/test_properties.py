@@ -1,0 +1,88 @@
+"""Property-based checks (hypothesis) for the cross-engine invariants
+the oracle gate depends on (SURVEY §5: correctness is constructed).
+
+These target the two spots where parity is subtle rather than
+structural: the shared rounding formula under adversarial doubles, and
+the shifted-date-join vs window-lag equivalence, which holds exactly
+when the date series is dense (SURVEY §7.1) — both directions of that
+claim are pinned.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_competition_dxc_spark.functions.rounding import round_to, sql_round
+
+# doubles that stress the halfway behavior: exact 2-decimal values,
+# near-halfway 3-decimal values, and arbitrary floats
+_adversarial = st.one_of(
+    st.integers(-10**6, 10**6).map(lambda n: n / 100.0),  # exact cents
+    st.integers(-10**6, 10**6).map(lambda n: n / 1000.0 + 0.005),  # halfway
+    st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_adversarial, min_size=1, max_size=100))
+def test_round_to_matches_duckdb(spark, values):
+    """floor(x*100+0.5)/100 must agree bit-for-bit across engines for
+    any double — this is the axiom every oracle comparison rests on."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, x double")
+    srows = {
+        r["i"]: r["y"]
+        for r in sdf.select("i", round_to(F.col("x"), 2).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(values)])
+    drows = dict(con.execute(f"SELECT i, {sql_round('x', 2)} FROM t").fetchall())
+    con.close()
+    assert srows == drows
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 1000), min_size=2, max_size=20),
+    st.sets(st.integers(1, 18), max_size=5),
+)
+def test_shifted_join_vs_window_lag(spark, counts, holes):
+    """On DENSE dates the shifted-date join equals window lag exactly;
+    a hole in the calendar makes the join yield 0 (no row on the prior
+    calendar day) while window lag reaches back to the last existing
+    row — the semantic difference SURVEY §7.1 requires us to preserve."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), int(c))
+        for i, c in enumerate(counts)
+        if i not in holes  # drop some days -> sparse series
+    ]
+    if not rows:
+        return
+    daily = spark.createDataFrame(rows, "ds date, n int")
+
+    shifted = daily.select(F.date_add("ds", 1).alias("ds"), F.col("n").alias("prev"))
+    join_lag = daily.join(shifted, "ds", "left").na.fill({"prev": 0})
+
+    w = Window.orderBy("ds")
+    win_lag = daily.withColumn("prev", F.coalesce(F.lag("n").over(w), F.lit(0)))
+
+    j = {r["ds"]: r["prev"] for r in join_lag.collect()}
+    v = {r["ds"]: r["prev"] for r in win_lag.collect()}
+    kept = {r[0] for r in rows}
+    for ds in kept:
+        prior_day_exists = (ds - datetime.timedelta(days=1)) in kept
+        if prior_day_exists:
+            assert j[ds] == v[ds], f"dense date {ds}: forms must agree"
+        else:
+            assert j[ds] == 0, f"calendar hole before {ds}: join form must yield 0"
