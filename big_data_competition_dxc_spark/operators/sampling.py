@@ -1,0 +1,110 @@
+"""Sampling operators for training-data pipelines.
+
+Two flavors, both reproducible:
+
+- **Deterministic hash sampling** (the 100 TB default): keep a row iff
+  a portable content hash of its key lands under the rate threshold.
+  No RNG, no seed bookkeeping — the SAME rows are selected on any
+  engine, any run, any cluster size, which is what makes train/test
+  splits auditable. Fully oracle-paired (same md5 arithmetic as the
+  dedup family).
+- **Stratified sampling** (`sampleBy`): per-stratum fractions with a
+  seed. Spark's RNG is engine-specific, so this is a rows-only check
+  with self-validating bounds in tests (fraction within tolerance per
+  stratum).
+
+Also here: approx_count_distinct, the sketch the exact distinct-count
+queries document as their scale path — checked against the exact
+answer within HLL tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_to, sql_round
+from ..plans.registry import query
+from ..sources import load
+
+SAMPLE_PCT = 10  # keep ~10%
+
+
+@query(
+    "hash_sample_events",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       {sql_round('AVG(value)', 4)} AS avg_value
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {SAMPLE_PCT}
+GROUP BY event_type
+""",
+    tags=("U4", "sampling"),
+)
+def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~{SAMPLE_PCT}% sample: md5(event_id) mod 100 under
+    threshold — the reproducible split primitive (same selection on
+    every engine and run; grows stably when the rate is raised)."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        ev.filter(bucket < SAMPLE_PCT)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            round_to(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query("stratified_sample", tags=("U4", "sampling"))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum fractions (sampleBy, seeded):
+    downsample the dominant event types, keep all purchases — the class
+    rebalancing step of a training pipeline. Rows-only check (Spark RNG);
+    tests bound the realized fraction per stratum."""
+    ev = load(spark, sf_dir, "events")
+    fractions = {"view": 0.2, "click": 0.2, "error": 0.5, "signup": 1.0, "purchase": 1.0}
+    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    return (
+        sampled.groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+        .join(
+            ev.groupBy("event_type").agg(F.count("*").alias("n_total")),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_sampled",
+            "n_total",
+            round_to(F.col("n_sampled") / F.col("n_total"), 4).alias("realized_frac"),
+        )
+    )
+
+
+@query("approx_distinct_check", tags=("A8", "sketch"))
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs the exact count, with relative
+    error — the sketch every 100 TB distinct-count should use. Rows-only
+    (sketch values are engine-specific); tests bound the error at the
+    requested rsd."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+    )
+    err = lambda a, e: round_to(F.abs(F.col(a) - F.col(e)) / F.col(e), 4)  # noqa: E731
+    return out.select(
+        "exact_users",
+        "approx_users",
+        err("approx_users", "exact_users").alias("rel_err_users"),
+        "exact_events",
+        "approx_events",
+        err("approx_events", "exact_events").alias("rel_err_events"),
+    )

@@ -90,3 +90,21 @@ def test_ann_ivf_recall(spark):
     assert mean_scan < 0.6
     assert mean_recall > 0.5
     assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+
+
+def test_stratified_sample_fractions(spark):
+    rows = {r["event_type"]: r for r in _run("stratified_sample", spark).collect()}
+    targets = {"view": 0.2, "click": 0.2, "error": 0.5, "signup": 1.0, "purchase": 1.0}
+    for etype, target in targets.items():
+        realized = rows[etype]["realized_frac"]
+        if target == 1.0:
+            assert realized == 1.0  # keep-all strata must be exact
+        else:
+            assert abs(realized - target) < 0.15  # Bernoulli tolerance
+
+
+def test_approx_distinct_within_rsd(spark):
+    [r] = _run("approx_distinct_check", spark).collect()
+    # rsd=0.02 -> generous 3-sigma-ish bound
+    assert r["rel_err_users"] < 0.06
+    assert r["rel_err_events"] < 0.06
