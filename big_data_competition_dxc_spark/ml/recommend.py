@@ -52,6 +52,8 @@ def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     return (
+        # no broadcast hint: AQE picks the join side from runtime stats
+        # (a forced broadcast of orders measured ~25% slower here)
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")

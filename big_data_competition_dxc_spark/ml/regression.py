@@ -28,10 +28,21 @@ from ..sources import load
 SEED = 42
 
 
+_FEATURES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, day) features with lag/lead labels — the reference's
     feature table shape (M:968-1001) built with ONE window instead of
-    three shifted-date joins."""
+    three shifted-date joins.
+
+    Memoized + cached per (session, sf_dir): five ML queries consume
+    this table; without the memo each rebuilt the rollup+window plan
+    from the raw events scan."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FEATURES_CACHE.get(key)
+    if cached is not None:
+        return cached
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("ds"), "user_id").agg(
         F.count("*").alias("n_events"),
@@ -40,13 +51,15 @@ def daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total_value"),
     )
     w = Window.partitionBy("user_id").orderBy("ds")
-    return (
+    out = (
         daily.withColumn("dow", F.dayofweek("ds").cast("double"))
         .withColumn("prev_events", F.coalesce(F.lag("n_events").over(w), F.lit(0)).cast("double"))
         .withColumn("prev2_events", F.coalesce(F.lag("n_events", 2).over(w), F.lit(0)).cast("double"))
         .withColumn("label_next", F.lead("n_events").over(w).cast("double"))
         .withColumn("label_next2", F.lead("n_events", 2).over(w).cast("double"))
-    )
+    ).cache()
+    _FEATURES_CACHE[key] = out
+    return out
 
 
 FEATURES = ("n_events", "n_click", "n_purchase", "total_value", "dow", "prev_events", "prev2_events")
