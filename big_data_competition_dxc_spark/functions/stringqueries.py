@@ -40,3 +40,38 @@ def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_token"),
         F.when(F.col("source").rlike("^src[0-9]+$"), 1).otherwise(0).alias("src_ok"),
     )
+
+
+@query(
+    "levenshtein_part_names",
+    oracle="""
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+""",
+    tags=("F15", "dedup"),
+)
+def levenshtein_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup part names WITHIN a brand (the blocking
+    key): candidates come from the brand equi-join, only survivors pay
+    the O(len^2) levenshtein — the classic blocked fuzzy-match shape.
+    At 100 TB the blocking key is the knob; never run edit distance on
+    an unblocked cross product."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 8)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

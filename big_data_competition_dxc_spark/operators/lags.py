@@ -126,3 +126,97 @@ def rolling_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "ds", "user_id", "n_events", F.sum("n_events").over(w).alias("events_7d")
     )
+
+
+@query(
+    "lag_densified_window",
+    oracle=f"""
+WITH {_DAILY_CTE},
+span AS (
+  SELECT user_id, MIN(ds) AS d0, MAX(ds) AS d1 FROM daily GROUP BY user_id
+),
+calendar AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS ds
+  FROM span
+),
+dense AS (
+  SELECT c.user_id, c.ds, COALESCE(d.n_events, 0) AS n_events
+  FROM calendar c LEFT JOIN daily d USING (user_id, ds)
+)
+SELECT user_id, ds, CAST(n_events AS BIGINT) AS n_events,
+       CAST(COALESCE(LAG(n_events) OVER (PARTITION BY user_id ORDER BY ds), 0)
+            AS BIGINT) AS prev_events
+FROM dense
+""",
+    tags=("J7", "W1", "array"),
+)
+def lag_densified_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third road to exact lag-join parity (SURVEY §7.1): densify
+    each user's calendar with sequence()+explode (zero rows for silent
+    days), THEN take the window lag — a missing prior calendar day now
+    correctly yields 0, like the reference's shifted-date join, while
+    keeping the single-shuffle window form. This is the scale-preferred
+    shape when lag-join semantics are required: the scaffold adds only
+    (span-days x users) rows, vs one extra shuffle per lag column for
+    the join emulation."""
+    daily = _daily(spark, sf_dir)
+    span = daily.groupBy("user_id").agg(
+        F.min("ds").alias("d0"), F.max("ds").alias("d1")
+    )
+    calendar = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("ds"),
+    )
+    dense = calendar.join(daily, ["user_id", "ds"], "left").select(
+        "user_id", "ds", F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy("ds")
+    return dense.withColumn(
+        "prev_events",
+        F.coalesce(F.lag("n_events").over(w), F.lit(0)).cast("bigint"),
+    )
+
+
+@query(
+    "window_function_suite",
+    oracle=f"""
+WITH {_DAILY_CTE}
+SELECT user_id, ds, CAST(n_events AS BIGINT) AS n_events,
+       CAST(RANK() OVER w_desc AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w_desc AS BIGINT) AS drnk,
+       CAST(NTILE(4) OVER w_asc AS INT) AS quartile,
+       (floor((PERCENT_RANK() OVER w_desc) * 10000.0 + 0.5) / 10000.0) AS pct_rank,
+       (floor((CUME_DIST() OVER w_desc) * 10000.0 + 0.5) / 10000.0) AS cume,
+       CAST(FIRST_VALUE(n_events) OVER w_asc AS BIGINT) AS first_day_events,
+       CAST(LAST_VALUE(n_events) OVER
+            (PARTITION BY user_id ORDER BY ds
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS last_day_events
+FROM daily
+WINDOW w_desc AS (PARTITION BY user_id ORDER BY n_events DESC, ds),
+       w_asc  AS (PARTITION BY user_id ORDER BY ds)
+""",
+    tags=("W4", "O3"),
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window surface in one query: rank/dense_rank/
+    ntile/percent_rank/cume_dist over activity, first/last value over
+    time — each with deterministic tie-break keys so both engines rank
+    identically."""
+    daily = _daily(spark, sf_dir)
+    w_desc = Window.partitionBy("user_id").orderBy(F.desc("n_events"), F.asc("ds"))
+    w_asc = Window.partitionBy("user_id").orderBy("ds")
+    w_full = w_asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return daily.select(
+        "user_id",
+        "ds",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.rank().over(w_desc).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_desc).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w_asc).cast("int").alias("quartile"),
+        round_to(F.percent_rank().over(w_desc), 4).alias("pct_rank"),
+        round_to(F.cume_dist().over(w_desc), 4).alias("cume"),
+        F.first("n_events").over(w_asc).cast("bigint").alias("first_day_events"),
+        F.last("n_events").over(w_full).cast("bigint").alias("last_day_events"),
+    )
