@@ -141,3 +141,32 @@ def daypart_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "early_value"
         ),
     )
+
+
+_PIVOT_API_ORACLE = """
+SELECT CAST(ts AS DATE) AS ds,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@query("pivot_api_daily", oracle=_PIVOT_API_ORACLE, tags=("A6",))
+def pivot_api_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 via the NATIVE pivot operator (vs daily_rollup's when-sum
+    form): `.pivot(col, values)` with the category list pinned — always
+    pass explicit values at scale, or Spark runs an extra distinct scan
+    to discover them and the output schema becomes data-dependent."""
+    events = load(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.to_date("ts").alias("ds"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return out.select(
+        "ds", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES]
+    )
