@@ -119,3 +119,71 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, session_start timestamp, session_end timestamp, "
         "n_events bigint, total_value double",
     )
+
+
+ATTRIB_MINUTES = 30
+
+
+@query(
+    "stream_stream_attribution_join",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL {ATTRIB_MINUTES} MINUTE
+ AND c.ts <= p.ts
+""",
+    tags=("streaming", "J2"),
+)
+def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click-to-purchase attribution): each
+    purchase matched to the same user's clicks in the preceding
+    {ATTRIB_MINUTES} minutes. Both sides carry watermarks — the time
+    bound is what lets Spark EVICT old click state instead of buffering
+    the stream forever (an unbounded-condition stream-stream join is
+    the classic state-explosion bug). availableNow over the bounded
+    fixture must emit exactly the batch interval-join result (the
+    oracle)."""
+    from .rollup_stream import drain_to_memory, staged_events_stream
+
+    stream, stage = staged_events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    stream2, stage2 = staged_events_stream(spark, sf_dir)
+    purchases = (
+        stream2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"interval {ATTRIB_MINUTES} minutes"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
+    )
+    rows = drain_to_memory(spark, joined, stage, "append")
+    import shutil
+
+    shutil.rmtree(stage2, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "purchase_id bigint, click_id bigint, user_id bigint, lag_seconds bigint"
+    )
