@@ -166,3 +166,92 @@ def array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("event_type")).alias("event_types"),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
     )
+
+
+@query(
+    "correlation_stats",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_round('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+       {sql_round('covar_samp(l_quantity, l_extendedprice)', 4)} AS qty_price_cov
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("A9",),
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group (the df.stat
+    surface as aggregate expressions — groupable, unlike df.stat.corr
+    which returns a driver-side scalar)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_to(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        round_to(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )
+
+
+@query(
+    "map_roundtrip_user_counts",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, n FROM counts
+""",
+    tags=("A6", "array"),
+)
+def map_roundtrip_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user counts -> map<event_type, n> via
+    map_from_entries -> exploded back to rows. The map is the natural
+    storage shape for sparse per-key features; exploding (and sorting
+    where order matters) is how it re-enters relational land — the
+    round-trip must be lossless (the oracle is the pre-map counts)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    as_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n")
+    )
+
+
+@query(
+    "struct_nested_select",
+    oracle=f"""
+SELECT o_orderkey,
+       o_custkey AS cust,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       {sql_round('o_totalprice', 2)} AS price
+FROM orders
+WHERE o_orderstatus = 'O'
+""",
+    tags=("P1", "P2"),
+)
+def struct_nested_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType nesting (the reference's LabelsPoint(prop, labels,
+    features) shape, 流行音乐趋势预测.md:171-174): pack columns into a
+    nested struct, then select back through the dotted path — the
+    pack/unpack must be lossless and prunable (Catalyst pushes nested
+    field extraction into the scan)."""
+    o = load(spark, sf_dir, "orders")
+    packed = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.struct(
+                F.year("o_orderdate").cast("int").alias("order_year"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("meta"),
+        ).alias("info"),
+    )
+    return packed.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.col("info.cust").alias("cust"),
+        F.col("info.meta.order_year").alias("order_year"),
+        round_to(F.col("info.meta.price"), 2).alias("price"),
+    )
