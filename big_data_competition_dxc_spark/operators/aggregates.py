@@ -59,7 +59,7 @@ SELECT l_suppkey,
        COUNT(*) AS n_items,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
        (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
-       (floor((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS avg_price,
+       (floor((SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / (100.0 * COUNT(*))) * 10000.0 + 0.5) / 10000.0) AS avg_price,
        MIN(l_shipdate) AS first_ship,
        MAX(l_shipdate) AS last_ship
 FROM lineitem
@@ -68,13 +68,22 @@ GROUP BY l_suppkey
     tags=("A5",),
 )
 def supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 (M:953): mixed COUNT/COUNT-DISTINCT/SUM/AVG/MIN/MAX per entity."""
+    """A5 (M:953): mixed COUNT/COUNT-DISTINCT/SUM/AVG/MIN/MAX per entity.
+
+    avg_price sums EXACT INTEGER CENTS then divides: a plain AVG over
+    doubles is summed in partition order, and at sf0.1 one supplier's
+    group landed a 1-ulp difference exactly on the 4dp rounding
+    boundary (52908.28065) — integer sums are order-independent, so the
+    average is bit-identical across engines regardless of data layout
+    (prices are 2-decimal by construction, so the cents cast is
+    lossless)."""
     li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
     return li.groupBy("l_suppkey").agg(
         F.count("*").alias("n_items"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
-        round_to(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        round_to(F.sum(cents) / (F.lit(100.0) * F.count("*")), 4).alias("avg_price"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
