@@ -2,8 +2,11 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line with per-query wall seconds.
 
-Each query's timing includes full execution to a count() action (results
-never collected to the driver — we measure the engine, not the pickle)."""
+Each query's timing covers the registered callable plus a count()
+action. Most queries return a lazy plan (the count executes it);
+queries that manage caches or streams materialize internally, so their
+number includes that materialization — timings are comparable run-to-
+run, which is what the per-round BENCH comparison needs."""
 
 from __future__ import annotations
 

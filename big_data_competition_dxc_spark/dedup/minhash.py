@@ -43,9 +43,9 @@ def _b(i: int) -> int:
 
 def _base_col(s: Column) -> Column:
     """60-bit md5-derived base, reduced mod P (computed once per shingle)."""
-    return (
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % HASH_MOD
-    )
+    from ..functions.hashing import md5_bigint
+
+    return md5_bigint(s) % HASH_MOD
 
 
 def _hash_i(i: int, x: Column) -> Column:

@@ -61,9 +61,9 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
     tok_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    tok_counts = tok_counts.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
-    )
+    from ..functions.hashing import md5_bigint
+
+    tok_counts = tok_counts.withColumn("h", md5_bigint(F.col("tok"), 12))
     bits = (
         tok_counts.select(
             "doc_id",

@@ -38,11 +38,13 @@ def daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized + cached per (session, sf_dir): five ML queries consume
     this table; without the memo each rebuilt the rollup+window plan
-    from the raw events scan."""
+    from the raw events scan. Only the latest entry is kept — stale
+    keys would pin DataFrames of stopped sessions for process life."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _FEATURES_CACHE.get(key)
     if cached is not None:
         return cached
+    _FEATURES_CACHE.clear()
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("ds"), "user_id").agg(
         F.count("*").alias("n_events"),

@@ -46,11 +46,10 @@ def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~{SAMPLE_PCT}% sample: md5(event_id) mod 100 under
     threshold — the reproducible split primitive (same selection on
     every engine and run; grows stably when the rate is raised)."""
+    from ..functions.hashing import md5_bigint
+
     ev = load(spark, sf_dir, "events")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = md5_bigint(F.col("event_id").cast("string")) % 100
     return (
         ev.filter(bucket < SAMPLE_PCT)
         .groupBy("event_type")

@@ -66,18 +66,26 @@ def drain_to_memory(spark: SparkSession, agg: DataFrame, stage: str, mode: str) 
     import uuid as _uuid
 
     sink = f"sink_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = spark.table(sink).collect()
-    spark.catalog.dropTempView(sink)
-    shutil.rmtree(stage, ignore_errors=True)
-    return rows
+    q = None
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).collect()
+    finally:
+        # a failed stream must not leak the query, sink view, or stage dir
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,6 +149,7 @@ def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
     oracle)."""
     from .rollup_stream import drain_to_memory, staged_events_stream
 
+    # one staged dir; both sides read the same file source independently
     stream, stage = staged_events_stream(spark, sf_dir)
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -159,9 +160,8 @@ def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withWatermark("c_ts", "1 hour")
     )
-    stream2, stage2 = staged_events_stream(spark, sf_dir)
     purchases = (
-        stream2.filter(F.col("event_type") == "purchase")
+        stream.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id"),
@@ -181,9 +181,6 @@ def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
     )
     rows = drain_to_memory(spark, joined, stage, "append")
-    import shutil
-
-    shutil.rmtree(stage2, ignore_errors=True)
     return spark.createDataFrame(
         rows, "purchase_id bigint, click_id bigint, user_id bigint, lag_seconds bigint"
     )
