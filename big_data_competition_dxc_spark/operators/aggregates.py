@@ -257,3 +257,37 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, p in pcts.items()
         ]
     )
+
+
+@query(
+    "grouping_sets_status_segment",
+    oracle=f"""
+SELECT o.o_orderstatus, c.c_mktsegment,
+       CAST(GROUPING(o.o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(c.c_mktsegment) AS INT) AS g_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_round('SUM(o.o_totalprice)', 2)} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((o.o_orderstatus), (c.c_mktsegment), ())
+""",
+    tags=("A4", "cube"),
+)
+def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization CUBE/ROLLUP compile
+    to) with GROUPING() indicators disambiguating real NULLs from
+    subtotal rows — one Expand + one shuffle for all three groupings."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    o.join(c, o.o_custkey == c.c_custkey).createOrReplaceTempView("_oc")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, c_mktsegment,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+               COUNT(*) AS n_orders,
+               (floor((SUM(o_totalprice)) * 100.0 + 0.5) / CAST(100.0 AS DOUBLE))
+                 AS total_price
+        FROM _oc
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+        """
+    )

@@ -198,3 +198,57 @@ def sql_templated_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"etype": "purchase"},
     )
+
+
+@query(
+    "partition_overwrite_backfill",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS ds, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+patched AS (
+  SELECT ds, event_type,
+         CASE WHEN ds = DATE '2024-01-05' THEN n_events * 2 ELSE n_events END
+           AS n_events
+  FROM daily
+)
+SELECT ds, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM patched GROUP BY ds
+""",
+    tags=("S2", "S3", "P3"),
+)
+def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill — the production write pattern a
+    daily pipeline needs: write the full partitioned table, then
+    re-run ONE day (here with doubled counts, standing in for a
+    corrected recompute) in dynamic partitionOverwriteMode. Only that
+    day's partition is replaced; every other partition must be
+    byte-identical to the first write (the oracle computes the expected
+    patched state). Static mode — the default — would have wiped the
+    whole table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("ds"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    out = tempfile.mkdtemp(prefix="pq_backfill_")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        daily.write.mode("overwrite").partitionBy("ds").parquet(out)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = daily.filter(F.col("ds") == F.lit("2024-01-05").cast("date")).withColumn(
+            "n_events", F.col("n_events") * 2
+        )
+        # dynamic mode: ONLY the ds=2024-01-05 partition is replaced
+        patch.write.mode("overwrite").partitionBy("ds").parquet(out)
+        back = spark.read.parquet(out)
+        agg = back.groupBy("ds").agg(
+            F.count("*").alias("n_types"), F.sum("n_events").alias("n_events")
+        )
+        rows = agg.collect()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "ds date, n_types bigint, n_events bigint")
