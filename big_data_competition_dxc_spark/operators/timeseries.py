@@ -1,0 +1,203 @@
+"""Time-series operators: range join, hierarchical (hypertable-style)
+rollup, and a Count-Min sketch — the remaining custom-operator examples
+from the brief, all as compositions of built-in DataFrame ops.
+
+Scale notes: the range join anchors on the customer equi-key, so the
+band predicate is a post-join filter, never a cross product. The
+hierarchical rollup RE-AGGREGATES from partials (hour -> day -> month),
+the continuous-aggregate trick: each coarser resolution reads the
+finer aggregate (tiny), not the raw events — at 100 TB the raw scan
+happens once. The Count-Min sketch is (depth x width) counters built
+with one groupBy — mergeable across partitions/days by summing
+counters, which is why it works as a streaming/distributed sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bigint, sql_md5_bigint
+from ..plans.registry import query
+from ..sources import load
+
+RANGE_DAYS = 7
+
+
+@query(
+    "range_join_post_order_events",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_events_week_after
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL {RANGE_DAYS} DAY
+GROUP BY 1, 2
+""",
+    tags=("J3", "P3", "range-join"),
+)
+def range_join_post_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join anchored on an equi-key: events within
+    {RANGE_DAYS} days after each order by the same customer. The
+    customer key hashes the join; the date band is a cheap post-join
+    filter — the composition that keeps a range join linear instead of
+    quadratic."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("odate")
+    )
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("eds")
+    )
+    joined = o.join(
+        e,
+        (o.o_custkey == e.user_id)
+        & (e.eds >= o.odate)
+        & (e.eds <= F.date_add(o.odate, RANGE_DAYS)),
+        "left",
+    )
+    return joined.groupBy("o_orderkey", "o_custkey").agg(
+        F.count("event_id").alias("n_events_week_after")
+    )
+
+
+@query(
+    "hypertable_rollup_chain",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n, SUM(v) AS v
+  FROM hourly GROUP BY 1
+),
+monthly AS (
+  SELECT date_trunc('month', bucket) AS bucket, SUM(n) AS n, SUM(v) AS v
+  FROM daily GROUP BY 1
+)
+SELECT 'hour' AS resolution, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(SUM(v) AS BIGINT) AS total_value_cents
+FROM hourly
+UNION ALL
+SELECT 'day', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT), CAST(SUM(v) AS BIGINT)
+FROM daily
+UNION ALL
+SELECT 'month', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT), CAST(SUM(v) AS BIGINT)
+FROM monthly
+""",
+    tags=("A2", "hypertable"),
+)
+def hypertable_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate chain: hour buckets from
+    raw events, DAY buckets re-aggregated from the hourly partials,
+    MONTH from the daily — the raw table is scanned exactly once and
+    each coarser resolution aggregates the (much smaller) finer one.
+    Totals must be identical at every resolution (the oracle checks all
+    three). Values accumulate as EXACT integer cents — the
+    order-independent form that guarantees hour/day/month totals agree
+    bit-for-bit however the partials are merged (see supplier_rollup
+    for the double-sum boundary this avoids)."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("v")
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "bucket").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+
+    def level(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("resolution"),
+            F.count("*").alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.sum("v").cast("bigint").alias("total_value_cents"),
+        )
+
+    return level(hourly, "hour").unionByName(level(daily, "day")).unionByName(
+        level(monthly, "month")
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+@query(
+    "countmin_heavy_hitters",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT user_id,
+         d,
+         ({sql_md5_bigint("CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", 12)})
+           % {CMS_WIDTH} AS bucket
+  FROM events, unnest(range(0, {CMS_DEPTH})) AS t(d)
+),
+sketch AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM rows_ GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10
+),
+probes AS (
+  SELECT e.user_id, e.n_exact, s.d, s.cnt
+  FROM exact e
+  JOIN sketch s
+    ON s.d IN (SELECT unnest(range(0, {CMS_DEPTH})))
+   AND s.bucket = ({sql_md5_bigint("CAST(s.d AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)", 12)})
+         % {CMS_WIDTH}
+)
+SELECT user_id, n_exact, CAST(MIN(cnt) AS BIGINT) AS n_estimate
+FROM probes GROUP BY 1, 2
+""",
+    tags=("A8", "sketch"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as relational ops: {CMS_DEPTH} md5-derived hash
+    rows x {CMS_WIDTH} buckets, one groupBy to build, point queries =
+    min over the key's {CMS_DEPTH} counters. Estimates for the top-10
+    exact heavy hitters; CMS guarantees estimate >= exact (checked by
+    the oracle producing identical numbers — the sketch is fully
+    deterministic, so even its OVER-estimates agree across engines)."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    d = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    keyed = ev.select("user_id", d).withColumn(
+        "bucket",
+        md5_bigint(
+            F.concat_ws(":", F.col("d").cast("string"), F.col("user_id").cast("string")),
+            12,
+        )
+        % CMS_WIDTH,
+    )
+    sketch = keyed.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "user_id", "n_exact", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    ).withColumn(
+        "bucket",
+        md5_bigint(
+            F.concat_ws(":", F.col("d").cast("string"), F.col("user_id").cast("string")),
+            12,
+        )
+        % CMS_WIDTH,
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_estimate"))
+    )

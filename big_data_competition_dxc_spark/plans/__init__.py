@@ -19,6 +19,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.sampling",
         "big_data_competition_dxc_spark.operators.subqueries",
         "big_data_competition_dxc_spark.operators.asof",
+        "big_data_competition_dxc_spark.operators.timeseries",
         "big_data_competition_dxc_spark.functions.datequeries",
         "big_data_competition_dxc_spark.functions.stringqueries",
         "big_data_competition_dxc_spark.functions.semistructured",
