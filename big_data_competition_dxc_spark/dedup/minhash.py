@@ -204,8 +204,11 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_to(jac, 4).alias("jaccard"))
     )
-    # materialize while the shingle cache is hot, then release it (the
-    # session outlives this query; pinned caches would accumulate)
-    rows = out.collect()
+    # localCheckpoint materializes the verified pairs ON THE EXECUTORS
+    # while the shingle cache is hot, then releases the cache (the
+    # session outlives this query; pinned caches would accumulate).
+    # A driver collect() here would be a scale bug: at 100 TB the
+    # verified near-dup pair set is not driver-sized.
+    out = out.localCheckpoint(eager=True)
     sh.unpersist()
-    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint, jaccard double")
+    return out

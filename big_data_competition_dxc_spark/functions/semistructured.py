@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_avg, fixed_sum, round_to, sql_fixed_avg, sql_fixed_sum, sql_round
 from ..plans.registry import query
 from ..sources import load
 
@@ -29,7 +29,7 @@ from ..sources import load
     oracle=f"""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       {sql_round('AVG(value)', 4)} AS avg_value
+       {sql_fixed_avg('value', 2, 4)} AS avg_value
 FROM events
 GROUP BY 1
 """,
@@ -48,7 +48,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
         .agg(
             F.count("*").alias("n_events"),
-            round_to(F.avg("value"), 4).alias("avg_value"),
+            fixed_avg(F.col("value"), 2, 4).alias("avg_value"),
         )
     )
 
@@ -123,7 +123,7 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT r.r_name, n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       {sql_round('SUM(c.c_acctbal)', 2)} AS total_balance
+       {sql_fixed_sum('c.c_acctbal', 2, 2)} AS total_balance
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -142,7 +142,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("n_customers"),
-        round_to(F.sum("c_acctbal"), 2).alias("total_balance"),
+        fixed_sum(F.col("c_acctbal"), 2, 2).alias("total_balance"),
     )
 
 

@@ -30,7 +30,14 @@ from pyspark.ml.recommendation import ALS
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import (
+    fixed_avg,
+    fixed_sum,
+    round_to,
+    sql_fixed_avg,
+    sql_fixed_sum,
+    sql_round,
+)
 from ..plans.registry import query
 from ..sources import load
 
@@ -78,7 +85,7 @@ WITH r AS ({_RATINGS_SQL})
 SELECT COUNT(*) AS n_ratings,
        COUNT(DISTINCT user_id) AS n_users,
        COUNT(DISTINCT item_id) AS n_items,
-       {sql_round('AVG(rating)', 4)} AS avg_rating
+       {sql_fixed_avg('rating', 0, 4)} AS avg_rating
 FROM r
 """,
     tags=("ML8", "A8"),
@@ -91,7 +98,7 @@ def ratings_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ratings"),
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("item_id").alias("n_items"),
-        round_to(F.avg("rating"), 4).alias("avg_rating"),
+        fixed_avg(F.col("rating"), 0, 4).alias("avg_rating"),
     )
 
 
@@ -245,12 +252,12 @@ neigh AS (SELECT u, v, sim FROM ranked WHERE rn <= {K_NEIGHBORS}),
 r2 AS (SELECT * FROM r),
 scored AS (
   SELECT n.u AS user_id, r2.item_id,
-         sum(n.sim * r2.rating) AS raw_score
+         {sql_fixed_sum('n.sim * r2.rating', 4, 3)} AS raw_score
   FROM neigh n JOIN r2 ON r2.user_id = n.v
   GROUP BY n.u, r2.item_id
 ),
 unseen AS (
-  SELECT s.user_id, s.item_id, {sql_round('s.raw_score', 3)} AS score
+  SELECT s.user_id, s.item_id, s.raw_score AS score
   FROM scored s
   LEFT JOIN r2 mine ON mine.user_id = s.user_id AND mine.item_id = s.item_id
   WHERE mine.user_id IS NULL
@@ -281,19 +288,24 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         neigh.join(r.withColumnRenamed("user_id", "v"), "v")
         .groupBy(F.col("u").alias("user_id"), "item_id")
-        .agg(F.sum(F.col("sim") * F.col("rating")).alias("raw_score"))
+        # sim sits on a 4dp grid (rounded cosine), rating is integral, so
+        # sim*rating units at dec=4 are exact — the weighted score ranks
+        # identically on every engine/partitioning
+        .agg(fixed_sum(F.col("sim") * F.col("rating"), 4, 3).alias("raw_score"))
     )
     unseen = scored.join(r.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
     w = Window.partitionBy("user_id").orderBy(
         F.desc("score"), F.asc("item_id")
     )
     out = (
-        unseen.select("user_id", "item_id", round_to(F.col("raw_score"), 3).alias("score"))
+        unseen.select("user_id", "item_id", F.col("raw_score").alias("score"))
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOPK_RECS)
     )
-    rows = out.collect()  # materialize while the ratings cache is hot
+    # localCheckpoint materializes the result ON THE EXECUTORS while the
+    # ratings cache is hot, then releases the cache — unlike a driver
+    # collect(), the recommendation set stays distributed (at 100 TB the
+    # per-user top-k across all users is not driver-sized)
+    out = out.localCheckpoint(eager=True)
     r.unpersist()
-    return spark.createDataFrame(
-        rows, "user_id bigint, item_id bigint, score double, rn bigint"
-    )
+    return out

@@ -12,20 +12,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_avg, fixed_sum, round_to, sql_fixed_avg, sql_fixed_sum, sql_round
 from ..plans.registry import query
 from ..sources import load
 
 
 @query(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
-       (floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
-       (floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
-       (floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
-       (floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
+       {sql_fixed_sum('l_quantity', 0, 2)} AS sum_qty,
+       {sql_fixed_sum('l_extendedprice', 2, 2)} AS sum_base_price,
+       {sql_fixed_sum('l_extendedprice * (1 - l_discount)', 4, 2)} AS sum_disc_price,
+       {sql_fixed_avg('l_quantity', 0, 4)} AS avg_qty,
+       {sql_fixed_avg('l_discount', 2, 6)} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -37,29 +37,31 @@ GROUP BY l_returnflag, l_linestatus
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 wide rollup (M:254, M:953): 6 measures over a 2-key group
     with a pushed-down date predicate — the per-artist 13-measure rollup
-    shape, TPC-H-Q1 style."""
+    shape, TPC-H-Q1 style. Every double measure accumulates exact
+    integer units (quantities integral, prices 2dp, disc_price 4dp) so
+    the hash gate cannot flake on partition order."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
-        round_to(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        round_to(F.sum(disc_price), 2).alias("sum_disc_price"),
-        round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
-        round_to(F.avg("l_discount"), 6).alias("avg_disc"),
+        fixed_sum(F.col("l_quantity"), 0, 2).alias("sum_qty"),
+        fixed_sum(F.col("l_extendedprice"), 2, 2).alias("sum_base_price"),
+        fixed_sum(disc_price, 4, 2).alias("sum_disc_price"),
+        fixed_avg(F.col("l_quantity"), 0, 4).alias("avg_qty"),
+        fixed_avg(F.col("l_discount"), 2, 6).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
 
 @query(
     "supplier_rollup",
-    oracle="""
+    oracle=f"""
 SELECT l_suppkey,
        COUNT(*) AS n_items,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-       (floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
-       (floor((SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / (100.0 * COUNT(*))) * 10000.0 + 0.5) / 10000.0) AS avg_price,
+       {sql_fixed_sum('l_quantity', 0, 2)} AS sum_qty,
+       {sql_fixed_avg('l_extendedprice', 2, 4)} AS avg_price,
        MIN(l_shipdate) AS first_ship,
        MAX(l_shipdate) AS last_ship
 FROM lineitem
@@ -70,20 +72,21 @@ GROUP BY l_suppkey
 def supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (M:953): mixed COUNT/COUNT-DISTINCT/SUM/AVG/MIN/MAX per entity.
 
-    avg_price sums EXACT INTEGER CENTS then divides: a plain AVG over
-    doubles is summed in partition order, and at sf0.1 one supplier's
-    group landed a 1-ulp difference exactly on the 4dp rounding
-    boundary (52908.28065) — integer sums are order-independent, so the
-    average is bit-identical across engines regardless of data layout
-    (prices are 2-decimal by construction, so the cents cast is
-    lossless)."""
+    avg_price sums EXACT INTEGER CENTS then divides (fixed_avg): a
+    plain AVG over doubles is summed in partition order, and at sf0.1
+    one supplier's group landed a 1-ulp difference exactly on the 4dp
+    rounding boundary (52908.28065) — integer sums are
+    order-independent, so the average is bit-identical across engines
+    regardless of data layout (prices are 2-decimal by construction,
+    so the cents extraction is lossless). This query was the original
+    flake that motivated the fixed_sum/fixed_avg pattern now applied
+    to every hash-compared double measure."""
     li = load(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
     return li.groupBy("l_suppkey").agg(
         F.count("*").alias("n_items"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
-        round_to(F.sum(cents) / (F.lit(100.0) * F.count("*")), 4).alias("avg_price"),
+        fixed_sum(F.col("l_quantity"), 0, 2).alias("sum_qty"),
+        fixed_avg(F.col("l_extendedprice"), 2, 4).alias("avg_price"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
@@ -113,12 +116,12 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "column_stats",
-    oracle="""
-SELECT (floor((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS qty_mean,
+    oracle=f"""
+SELECT {sql_fixed_avg('l_quantity', 0, 4)} AS qty_mean,
        (floor((STDDEV_SAMP(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS qty_std,
-       (floor((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS price_mean,
+       {sql_fixed_avg('l_extendedprice', 2, 4)} AS price_mean,
        (floor((STDDEV_SAMP(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS price_std,
-       (floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS disc_mean,
+       {sql_fixed_avg('l_discount', 2, 6)} AS disc_mean,
        (floor((MIN(l_quantity)) * 100.0 + 0.5) / 100.0) AS qty_min,
        (floor((MAX(l_quantity)) * 100.0 + 0.5) / 100.0) AS qty_max
 FROM lineitem
@@ -128,14 +131,19 @@ FROM lineitem
 def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 Statistics.colStats (M:141-146): global mean/std/min/max per
     feature column — the input to the reference's (buggy) normalizer
-    (ML2, SURVEY §7.3)."""
+    (ML2, SURVEY §7.3). Means use fixed_avg (order-independent); the
+    stddevs stay plain double: they are sum-order-dependent too, but a
+    sqrt of second moments essentially never lands within an ulp of a
+    4dp rounding boundary (unlike means of on-grid decimal data, which
+    sit on boundaries by construction), and min/max are rank-based,
+    hence deterministic."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
-        round_to(F.avg("l_quantity"), 4).alias("qty_mean"),
+        fixed_avg(F.col("l_quantity"), 0, 4).alias("qty_mean"),
         round_to(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
-        round_to(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        fixed_avg(F.col("l_extendedprice"), 2, 4).alias("price_mean"),
         round_to(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
-        round_to(F.avg("l_discount"), 6).alias("disc_mean"),
+        fixed_avg(F.col("l_discount"), 2, 6).alias("disc_mean"),
         round_to(F.min("l_quantity"), 2).alias("qty_min"),
         round_to(F.max("l_quantity"), 2).alias("qty_max"),
     )
@@ -173,8 +181,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(l_discount > 0.05 AS INT) AS discounted_flag,
        CAST(l_tax > 0.04 AS INT) AS taxed_flag,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       {sql_round('SUM(l_extendedprice)', 2)} AS sum_price,
-       {sql_round('AVG(l_quantity)', 4)} AS avg_qty
+       {sql_fixed_sum('l_extendedprice', 2, 2)} AS sum_price,
+       {sql_fixed_avg('l_quantity', 0, 4)} AS avg_qty
 FROM lineitem
 GROUP BY 1, 2, 3, 4, 5, 6, 7
 """,
@@ -200,8 +208,8 @@ def wide_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            round_to(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fixed_sum(F.col("l_extendedprice"), 2, 2).alias("sum_price"),
+            fixed_avg(F.col("l_quantity"), 0, 4).alias("avg_qty"),
         )
     )
 
@@ -211,7 +219,7 @@ def wide_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {sql_round('SUM(o_totalprice)', 2)} AS total_price
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -226,7 +234,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        round_to(F.sum("o_totalprice"), 2).alias("total_price"),
+        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
     )
 
 
@@ -266,7 +274,7 @@ SELECT o.o_orderstatus, c.c_mktsegment,
        CAST(GROUPING(o.o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(c.c_mktsegment) AS INT) AS g_segment,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {sql_round('SUM(o.o_totalprice)', 2)} AS total_price
+       {sql_fixed_sum('o.o_totalprice', 2, 2)} AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY GROUPING SETS ((o.o_orderstatus), (c.c_mktsegment), ())
 """,
@@ -279,14 +287,15 @@ def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     o.join(c, o.o_custkey == c.c_custkey).createOrReplaceTempView("_oc")
+    # sql_fixed_sum emits engine-neutral text, so the Spark-side SQL and
+    # the DuckDB oracle share the exact same measure expression
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, c_mktsegment,
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
                COUNT(*) AS n_orders,
-               (floor((SUM(o_totalprice)) * 100.0 + 0.5) / CAST(100.0 AS DOUBLE))
-                 AS total_price
+               {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
         FROM _oc
         GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
         """

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load
 
@@ -102,7 +102,7 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS ds,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS clicks,
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS purchases,
-         {sql_round('SUM(value)', 2)} AS total_value
+         {sql_fixed_sum('value', 2, 2)} AS total_value
   FROM events GROUP BY 1
 )
 SELECT ds, measure, val
@@ -124,7 +124,7 @@ def unpivot_daily_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("double")
         .alias("purchases"),
-        round_to(F.sum("value"), 2).alias("total_value"),
+        fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     )
     return daily.unpivot(
         ids=["ds"],

@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load
 
@@ -26,7 +26,7 @@ SALT_BUCKETS = 8
 _BUCKETED_ORACLE = f"""
 SELECT o.o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       {sql_round('SUM(l.l_extendedprice)', 2)} AS revenue
+       {sql_fixed_sum('l.l_extendedprice', 2, 2)} AS revenue
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderstatus
 """
@@ -72,7 +72,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined, cleanup = bucketed_join_frames(spark, sf_dir)
     out = joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_items"),
-        round_to(F.sum("l_extendedprice"), 2).alias("revenue"),
+        fixed_sum(F.col("l_extendedprice"), 2, 2).alias("revenue"),
     )
     rows = out.collect()
     cleanup()
@@ -84,7 +84,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_ORACLE = f"""
 SELECT c.c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       {sql_round('SUM(e.value)', 2)} AS total_value
+       {sql_fixed_sum('e.value', 2, 2)} AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
@@ -110,5 +110,5 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        round_to(F.sum("value"), 2).alias("total_value"),
+        fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to
+from ..functions.rounding import fixed_sum, round_to, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load
 
@@ -51,10 +51,10 @@ def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter_month_of_date",
-    oracle="""
+    oracle=f"""
 SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
        COUNT(*) AS n_items,
-       (floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_price
+       {sql_fixed_sum('l_extendedprice', 2, 2)} AS sum_price
 FROM lineitem
 WHERE month(l_shipdate) < 7 AND year(l_shipdate) = 1997
 GROUP BY 1
@@ -71,7 +71,7 @@ def filter_month_of_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(
             F.count("*").alias("n_items"),
-            round_to(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            fixed_sum(F.col("l_extendedprice"), 2, 2).alias("sum_price"),
         )
     )
 

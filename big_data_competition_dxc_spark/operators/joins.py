@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to
+from ..functions.rounding import fixed_avg, fixed_sum, sql_fixed_avg, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load, register_views
 
@@ -37,9 +37,9 @@ def join_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_snowflake_rollup",
-    oracle="""
+    oracle=f"""
 SELECT r.r_name, n.n_name,
-       (floor((SUM(o.o_totalprice)) * 100.0 + 0.5) / 100.0) AS revenue,
+       {sql_fixed_sum('o.o_totalprice', 2, 2)} AS revenue,
        COUNT(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -64,16 +64,16 @@ def join_snowflake_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            round_to(F.sum("o_totalprice"), 2).alias("revenue"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
 
 
-_THETA_SQL = """
+_THETA_SQL = f"""
 SELECT p.p_brand AS brand,
        COUNT(*) AS n_items,
-       (floor(SUM(l.l_quantity) * 1e2 + 0.5) / 1e2) AS sum_qty
+       {sql_fixed_sum('l.l_quantity', 0, 2)} AS sum_qty
 FROM lineitem l, part p
 WHERE l.l_partkey = p.p_partkey AND p.p_size > 30
 GROUP BY p.p_brand
@@ -115,18 +115,23 @@ WITH ev AS (
   SELECT user_id, event_id % 50 AS item_id, value FROM events
 ),
 labels AS (
-  SELECT user_id, item_id, (floor((AVG(value)) * 10000.0 + 0.5) / 10000.0) AS rating
+  SELECT user_id, item_id, {avg4} AS rating
   FROM ev GROUP BY user_id, item_id
 ),
 preds AS (
-  SELECT item_id, (floor((AVG(value)) * 10000.0 + 0.5) / 10000.0) AS pred FROM ev GROUP BY item_id
+  SELECT item_id, {avg4} AS pred FROM ev GROUP BY item_id
 )
 SELECT l.user_id,
        COUNT(*) AS n_items,
-       (floor((AVG(POW(l.rating - p.pred, 2))) * 10000.0 + 0.5) / 10000.0) AS mse
+       {mse8} AS mse
 FROM labels l JOIN preds p ON l.item_id = p.item_id
 GROUP BY l.user_id
-""",
+""".format(
+        avg4=sql_fixed_avg("value", 2, 4),
+        # rating/pred are floor-quotients on a 4dp grid, so the squared
+        # difference sits on an 8dp grid — exact at dec=8
+        mse8=sql_fixed_avg("POW(l.rating - p.pred, 2)", 8, 4),
+    ),
     tags=("J6", "A10", "F17"),
 )
 def mse_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,13 +141,13 @@ def mse_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.pmod("event_id", F.lit(50)).alias("item_id"), "value"
     )
-    labels = ev.groupBy("user_id", "item_id").agg(round_to(F.avg("value"), 4).alias("rating"))
-    preds = ev.groupBy("item_id").agg(round_to(F.avg("value"), 4).alias("pred"))
+    labels = ev.groupBy("user_id", "item_id").agg(fixed_avg(F.col("value"), 2, 4).alias("rating"))
+    preds = ev.groupBy("item_id").agg(fixed_avg(F.col("value"), 2, 4).alias("pred"))
     return (
         labels.join(preds, "item_id")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_items"),
-            round_to(F.avg(F.pow(F.col("rating") - F.col("pred"), 2)), 4).alias("mse"),
+            fixed_avg(F.pow(F.col("rating") - F.col("pred"), 2), 8, 4).alias("mse"),
         )
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to
+from ..functions.rounding import fixed_sum, round_to, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load
 
@@ -26,16 +26,16 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("ts").alias("ds"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            round_to(F.sum("value"), 2).alias("total_value"),
+            fixed_sum(F.col("value"), 2, 2).alias("total_value"),
         )
     )
 
 
-_DAILY_CTE = """
+_DAILY_CTE = f"""
 daily AS (
   SELECT CAST(ts AS DATE) AS ds, user_id,
          COUNT(*) AS n_events,
-         (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS total_value
+         {sql_fixed_sum('value', 2, 2)} AS total_value
   FROM events GROUP BY 1, 2
 )
 """

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import ORACLE_DAYOFWEEK, ORACLE_HOUR_BUCKET4, day_of_week, hour_bucket4
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_avg, fixed_sum, sql_fixed_avg, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load
 
@@ -42,7 +42,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ds)
         for t in EVENT_TYPES
     ),
     cols=", ".join(f"n_{t}" for t in EVENT_TYPES),
-    sum_value=sql_round("SUM(value)", 2),
+    sum_value=sql_fixed_sum("value", 2, 2),
 )
 
 
@@ -58,7 +58,7 @@ def daily_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         events.dropDuplicates()
         .groupBy(F.to_date("ts").alias("ds"), "user_id")
-        .agg(*pivots, F.count("*").alias("n_events"), round_to(F.sum("value"), 2).alias("total_value"))
+        .agg(*pivots, F.count("*").alias("n_events"), fixed_sum(F.col("value"), 2, 2).alias("total_value"))
     )
     w = Window.partitionBy("user_id").orderBy("ds")
     prev = F.coalesce(F.lag("n_click").over(w), F.lit(0).cast("bigint"))
@@ -76,7 +76,7 @@ _HOUR_BUCKET_ORACLE = f"""
 SELECT CAST(ts AS DATE) AS ds,
        {ORACLE_HOUR_BUCKET4.format(h='hour(ts)')} AS hour_bucket,
        COUNT(*) AS n_events,
-       {sql_round("SUM(value)", 2)} AS total_value
+       {sql_fixed_sum("value", 2, 2)} AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -91,7 +91,7 @@ def hour_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.withColumn("hour_bucket", hour_bucket4(F.hour("ts")))
         .groupBy(F.to_date("ts").alias("ds"), "hour_bucket")
-        .agg(F.count("*").alias("n_events"), round_to(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), fixed_sum(F.col("value"), 2, 2).alias("total_value"))
     )
 
 
@@ -99,7 +99,7 @@ _DOW_ORACLE = f"""
 SELECT {ORACLE_DAYOFWEEK.format(col='CAST(ts AS DATE)')} AS dow,
        event_type,
        COUNT(*) AS n_events,
-       {sql_round("AVG(value)", 4)} AS avg_value
+       {sql_fixed_avg("value", 2, 4)} AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -113,7 +113,7 @@ def dayofweek_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.withColumn("dow", day_of_week(F.to_date("ts")))
         .groupBy("dow", "event_type")
-        .agg(F.count("*").alias("n_events"), round_to(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count("*").alias("n_events"), fixed_avg(F.col("value"), 2, 4).alias("avg_value"))
     )
 
 
@@ -121,7 +121,7 @@ _DAYPART_ORACLE = f"""
 SELECT user_id,
        CAST(SUM(CASE WHEN hour(ts) < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
        CAST(SUM(CASE WHEN hour(ts) < 8 THEN 0 ELSE 1 END) AS BIGINT) AS n_late,
-       {sql_round("SUM(CASE WHEN hour(ts) < 8 THEN value ELSE 0 END)", 2)} AS early_value
+       {sql_fixed_sum("CASE WHEN hour(ts) < 8 THEN value ELSE 0 END", 2, 2)} AS early_value
 FROM events
 GROUP BY user_id
 """
@@ -137,7 +137,7 @@ def daypart_binary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.sum(early).cast("bigint").alias("n_early"),
         F.sum(1 - early).cast("bigint").alias("n_late"),
-        round_to(F.sum(F.when(F.hour("ts") < 8, F.col("value")).otherwise(0.0)), 2).alias(
+        fixed_sum(F.when(F.hour("ts") < 8, F.col("value")).otherwise(0.0), 2, 2).alias(
             "early_value"
         ),
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_avg, round_to, sql_fixed_avg
 from ..plans.registry import query
 from ..sources import load
 
@@ -35,7 +35,7 @@ SAMPLE_PCT = 10  # keep ~10%
     oracle=f"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_sampled,
-       {sql_round('AVG(value)', 4)} AS avg_value
+       {sql_fixed_avg('value', 2, 4)} AS avg_value
 FROM events
 WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {SAMPLE_PCT}
 GROUP BY event_type
@@ -55,7 +55,7 @@ def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_sampled"),
-            round_to(F.avg("value"), 4).alias("avg_value"),
+            fixed_avg(F.col("value"), 2, 4).alias("avg_value"),
         )
     )
 

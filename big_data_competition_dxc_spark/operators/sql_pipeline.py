@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.rounding import sql_round
+from ..functions.rounding import sql_fixed_sum
 from ..plans.registry import query
 from ..sources import register_views
 
@@ -49,7 +49,7 @@ LEFT JOIN customer c ON d.user_id = c.c_custkey
 @query(
     "sql_pipeline_daily",
     oracle=_PIPELINE.format(
-        total_value=sql_round("SUM(value)", 2),
+        total_value=sql_fixed_sum("value", 2, 2),
         next_day="CAST(ds + INTERVAL 1 DAY AS DATE)",
     ),
     tags=("P2", "S5", "J1", "J7", "A2", "A6", "A7"),
@@ -57,13 +57,13 @@ LEFT JOIN customer c ON d.user_id = c.c_custkey
 def sql_pipeline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full EP1 dataflow as one spark.sql statement over registered
     views — identical SQL text on both engines up to the date-add
-    spelling and the divisor cast (Spark SQL parses a bare `100.0`
-    literal as DECIMAL, which would turn the rounded double into a
-    decimal column; DuckDB's is already double)."""
+    spelling (sql_fixed_sum emits engine-neutral text: exact integer
+    accumulation, divisors CAST to DOUBLE so Spark's decimal-literal
+    parsing doesn't change the result type)."""
     register_views(spark, sf_dir)
     return spark.sql(
         _PIPELINE.format(
-            total_value="(floor((SUM(value)) * 100.0 + 0.5) / CAST(100.0 AS DOUBLE))",
+            total_value=sql_fixed_sum("value", 2, 2),
             next_day="date_add(ds, 1)",
         )
     )

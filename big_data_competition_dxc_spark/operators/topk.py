@@ -10,17 +10,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to
+from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load
 
 
 @query(
     "topk_days_per_user",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS ds,
-         (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS total_value
+         {sql_fixed_sum('value', 2, 2)} AS total_value
   FROM events GROUP BY 1, 2
 ),
 ranked AS (
@@ -42,7 +42,7 @@ def topk_days_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .groupBy("user_id", F.to_date("ts").alias("ds"))
-        .agg(round_to(F.sum("value"), 2).alias("total_value"))
+        .agg(fixed_sum(F.col("value"), 2, 2).alias("total_value"))
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("total_value"), F.asc("ds"))
     return (
@@ -53,8 +53,8 @@ def topk_days_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "global_top20_users",
-    oracle="""
-SELECT user_id, (floor((SUM(value)) * 100.0 + 0.5) / 100.0) AS total_value, COUNT(*) AS n_events
+    oracle=f"""
+SELECT user_id, {sql_fixed_sum('value', 2, 2)} AS total_value, COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
 ORDER BY total_value DESC, user_id
@@ -69,7 +69,7 @@ def global_top20_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(round_to(F.sum("value"), 2).alias("total_value"), F.count("*").alias("n_events"))
+        .agg(fixed_sum(F.col("value"), 2, 2).alias("total_value"), F.count("*").alias("n_events"))
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(20)
     )

@@ -28,8 +28,8 @@ TABLES = (
 )
 
 # Schema of the reference's raw CSV inputs (流行音乐趋势预测.md:38-40 /
-# FIXTURES.md §1), for the CSV ingestion path. DROPMALFORMED reproduces the
-# reference's arity filter (M:40 `e.length==5`): short/long rows vanish.
+# FIXTURES.md §1), for the CSV ingestion path (read_csv reproduces the
+# reference's arity filter M:40 `e.length==5`: short/long rows vanish).
 USER_ACTIONS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.StringType(), False),
@@ -63,8 +63,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond-precision, so this is lossless and matches DuckDB)."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # Scope the legacy conf to the schema resolution: spark.read
+        # .parquet resolves the footer schema EAGERLY, and the reader's
+        # hadoop conf is captured with the relation, so restoring the
+        # session value immediately afterwards is safe (later actions on
+        # the returned DataFrame still decode nanos as long — pinned by
+        # tests/test_plans.py::test_load_scopes_nanos_conf). Without the
+        # restore, every unrelated parquet read in the session would
+        # silently decode TIMESTAMP(NANOS) as bigint instead of failing
+        # loudly.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
@@ -73,8 +90,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """CSV ingestion with the reference's malformed-row-drop semantics
-    (S1: arity filter M:31,40 → DROPMALFORMED)."""
-    return spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(path)
+    (S1/P6/P14): text lines → split(",") → arity filter → typed
+    try_cast, with rows failing a non-nullable cast dropped.
+
+    NOT the builtin csv reader with DROPMALFORMED: modern Spark's
+    DROPMALFORMED only drops type-cast failures — wrong-arity rows are
+    padded/truncated permissively (proven in
+    sources/roundtrip.py:csv_roundtrip_malformed, which pins the same
+    shape against a DuckDB oracle). The explicit filter reproduces the
+    reference's `e.length==n` semantics (M:31, M:40) exactly."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), ",")
+    fields = schema.fields
+    parsed = lines.filter(F.size(parts) == len(fields)).select(
+        *[parts[i].try_cast(f.dataType).alias(f.name) for i, f in enumerate(fields)]
+    )
+    for f in fields:
+        if not f.nullable:
+            parsed = parsed.filter(F.col(f.name).isNotNull())
+    return parsed
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -25,14 +25,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
 from . import load
 
 _ORDERS_AGG_ORACLE = f"""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {sql_round('SUM(o_totalprice)', 2)} AS total_price
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -85,7 +85,7 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = parsed.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        round_to(F.sum("o_totalprice"), 2).alias("total_price"),
+        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
     )
     rows = agg.collect()
     shutil.rmtree(out, ignore_errors=True)
@@ -100,12 +100,12 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS ds, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         {sql_round('SUM(value)', 2)} AS total_value
+         {sql_fixed_sum('value', 2, 2)} AS total_value
   FROM events GROUP BY 1, 2
 )
 SELECT ds, CAST(COUNT(*) AS BIGINT) AS n_types,
        CAST(SUM(n_events) AS BIGINT) AS n_events,
-       {sql_round('SUM(total_value)', 2)} AS total_value
+       {sql_fixed_sum('total_value', 2, 2)} AS total_value
 FROM daily WHERE ds >= DATE '2024-01-10' GROUP BY ds
 """,
     bench=True,
@@ -119,7 +119,7 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("ds"), "event_type").agg(
         F.count("*").alias("n_events"),
-        round_to(F.sum("value"), 2).alias("total_value"),
+        fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     )
     out = tempfile.mkdtemp(prefix="pq_rt_")
     daily.write.mode("overwrite").partitionBy("ds").parquet(out)
@@ -130,7 +130,7 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count("*").alias("n_types"),
             F.sum("n_events").alias("n_events"),
-            round_to(F.sum("total_value"), 2).alias("total_value"),
+            fixed_sum(F.col("total_value"), 2, 2).alias("total_value"),
         )
     )
     rows = agg.collect()

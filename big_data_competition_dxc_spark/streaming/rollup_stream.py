@@ -28,7 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
 
 
@@ -45,7 +45,10 @@ def staged_events_stream(spark: SparkSession, sf_dir: str):
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is NOT set here: readStream is declared with an
+    # explicit schema (no eager footer inference), and the file decode
+    # happens during micro-batch execution — drain_to_memory scopes the
+    # conf around the stream's actual run instead.
     raw_schema = (
         "event_id bigint, ts bigint, user_id bigint, "
         "event_type string, value double, props string"
@@ -67,6 +70,13 @@ def drain_to_memory(spark: SparkSession, agg: DataFrame, stage: str, mode: str) 
 
     sink = f"sink_{_uuid.uuid4().hex[:8]}"
     q = None
+    # Micro-batches decode the staged TIMESTAMP(NANOS) parquet during
+    # execution, so the legacy conf must hold for the stream's lifetime
+    # — scoped here (set before start, restored after termination) so it
+    # never leaks into the rest of the session.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
     try:
         q = (
             agg.writeStream.format("memory")
@@ -78,6 +88,10 @@ def drain_to_memory(spark: SparkSession, agg: DataFrame, stage: str, mode: str) 
         q.awaitTermination()
         return spark.table(sink).collect()
     finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
         # a failed stream must not leak the query, sink view, or stage dir
         if q is not None and q.isActive:
             q.stop()
@@ -97,7 +111,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            round_to(F.sum("value"), 2).alias("total_value"),
+            fixed_sum(F.col("value"), 2, 2).alias("total_value"),
         )
         .select(
             F.to_date(F.col("win.start")).alias("ds"),
@@ -119,7 +133,7 @@ query(
     oracle=f"""
 SELECT CAST(ts AS DATE) AS ds, event_type,
        COUNT(*) AS n_events,
-       {sql_round("SUM(value)", 2)} AS total_value
+       {sql_fixed_sum("value", 2, 2)} AS total_value
 FROM events
 GROUP BY 1, 2
 """,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
 from ..sources import load
 
@@ -49,7 +49,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       {sql_round('SUM(value)', 2)} AS total_value
+       {sql_fixed_sum('value', 2, 2)} AS total_value
 FROM sess
 GROUP BY user_id, sid
 """
@@ -62,16 +62,19 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the new-session flag, then rolled up."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = GAP_MINUTES * 60
-    # full-precision epoch seconds: unix_timestamp() would truncate to
-    # whole seconds and disagree with the oracle's interval compare on
-    # gaps within 1s of the threshold
-    epoch = lambda c: c.cast("double")  # noqa: E731
+    gap_us = GAP_MINUTES * 60 * 1_000_000
+    # INTEGER microseconds (unix_micros), matching DuckDB's exact
+    # µs-resolution INTERVAL compare: a double epoch-seconds cast has
+    # ~0.5 µs of ulp noise at 2024 epochs, so a gap landing exactly on
+    # the 30-minute boundary could round across the strict `>` and
+    # diverge from the oracle (unix_timestamp() is worse — it truncates
+    # to whole seconds)
+    epoch = F.unix_micros
     flagged = ev.withColumn(
         "new_s",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (epoch(F.col("ts")) - epoch(F.lag("ts").over(w)) > float(gap_s)),
+            | (epoch(F.col("ts")) - epoch(F.lag("ts").over(w)) > F.lit(gap_us)),
             1,
         ).otherwise(0),
     )
@@ -82,7 +85,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        round_to(F.sum("value"), 2).alias("total_value"),
+        fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     ).drop("sid")
 
 
@@ -103,7 +106,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            round_to(F.sum("value"), 2).alias("total_value"),
+            fixed_sum(F.col("value"), 2, 2).alias("total_value"),
         )
         .select(
             "user_id",

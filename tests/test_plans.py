@@ -157,3 +157,44 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located buckets: no shuffle at all
     assert "Bucketed: true" in plan
+
+
+def test_load_scopes_nanos_conf(spark):
+    """load('events') must not leak the nanosAsLong legacy conf into the
+    session (a leaked true silently decodes every later TIMESTAMP(NANOS)
+    read as bigint), AND the returned DataFrame must still execute after
+    the conf is restored."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    df = load(spark, SF_TEST_DIR, "events")
+    assert spark.conf.get(key, None) in (None, "false")
+    assert df.count() > 0  # execution works post-restore
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_read_csv_arity_and_cast_semantics(spark, tmp_path):
+    """read_csv reproduces the reference's malformed-row drops: wrong
+    arity (short AND long) and failed non-nullable casts both vanish;
+    clean rows survive with their types."""
+    from pyspark.sql import types as T
+
+    from big_data_competition_dxc_spark.sources.io import read_csv
+
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "1,a,2.5\n"        # clean
+        "2,b\n"             # short arity -> dropped
+        "3,c,1.0,extra\n"   # long arity -> dropped
+        "oops,d,4.0\n"      # bad cast on non-nullable id -> dropped
+        "4,e,notafloat\n"   # bad cast on nullable col -> kept as NULL
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("tag", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    rows = {r.id: r for r in read_csv(spark, str(p), schema).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1].score == 2.5 and rows[1].tag == "a"
+    assert rows[4].score is None

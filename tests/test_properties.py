@@ -86,3 +86,36 @@ def test_shifted_join_vs_window_lag(spark, counts, holes):
             assert j[ds] == v[ds], f"dense date {ds}: forms must agree"
         else:
             assert j[ds] == 0, f"calendar hole before {ds}: join form must yield 0"
+
+
+def test_sessionize_exact_boundary_microseconds(spark, tmp_path):
+    """A gap of EXACTLY 30:00.000000 must stay in-session (strict >) and
+    30:00.000001 must split — pinned at integer-microsecond resolution.
+    The old double-epoch compare had ~0.5 µs of ulp noise at 2024 epochs,
+    which could flip a boundary gap across the strict inequality."""
+    import datetime as dt
+
+    from big_data_competition_dxc_spark.streaming.sessionize import sessionize_batch
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, 100, t0, 1.0, "click", "{}"),
+        (2, 100, t0 + gap, 1.0, "click", "{}"),            # exactly 30:00 -> same session
+        (3, 100, t0 + gap + gap + us, 1.0, "click", "{}"), # 30:00.000001 -> new session
+        (4, 200, t0, 1.0, "click", "{}"),
+        (5, 200, t0 + gap - us, 1.0, "click", "{}"),       # 29:59.999999 -> same session
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, value double, "
+        "event_type string, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sessionize_batch(spark, str(tmp_path)).collect()
+    sessions = {}
+    for r in out:
+        sessions.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(sessions[100]) == [1, 2]  # [e1,e2] together, e3 alone
+    assert sessions[200] == [2]
