@@ -1,11 +1,14 @@
 """Regression pipelines (SURVEY §2.10 ML4–ML6, ML11, ML13).
 
-The reference's forecasting core: linear regression (流行音乐趋势预测.md:
-186-221), random forest (M:327-352), GBDT with 1-/2-period-ahead labels
-blended (M:682-745), evaluated by train/held-out MSE (M:354-387,
-747-762). Feature engineering reuses the engine's own operators (daily
-rollup + window lags) — the same plan shapes the reference built with
-shifted-date joins.
+The reference's forecasting core: a 3-target linear-regression battery
+(one model per action type, 流行音乐趋势预测.md:186-221), a 5-target
+random-forest battery (play/down/collect/morning/afternoon,
+M:327-352), GBDT with 1-/2-period-ahead labels blended (M:682-745) and
+categorical features declared via categoricalFeaturesInfo {(0,4),(1,8)}
+(M:697), evaluated by train/held-out MSE (M:354-387, 747-762). Feature
+engineering reuses the engine's own operators (daily rollup + window
+lags) — the same plan shapes the reference built with shifted-date
+joins.
 
 Config parity vs reference: RF numTrees=50/maxDepth=10/maxBins=100
 (M:332-352) kept as-is; GBT maxIter downscaled 330 -> 20 (M:692-698;
@@ -16,7 +19,7 @@ whole verify run for no extra coverage — documented deviation).
 from __future__ import annotations
 
 from pyspark.ml.evaluation import RegressionEvaluator
-from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.feature import StringIndexer, VectorAssembler, VectorIndexer
 from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,7 +37,9 @@ _FEATURES_CACHE: dict[tuple[str, str], DataFrame] = {}
 def daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, day) features with lag/lead labels — the reference's
     feature table shape (M:968-1001) built with ONE window instead of
-    three shifted-date joins.
+    three shifted-date joins. Carries one lead label per battery target
+    (M:327-352 trains one model per measure) plus the user's market
+    segment (broadcast dim join) as a categorical feature for the GBT.
 
     Memoized + cached per (session, sf_dir): five ML queries consume
     this table; without the memo each rebuilt the rollup+window plan
@@ -50,8 +55,16 @@ def daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0)).alias("n_morning"),
+        F.sum(F.when(F.hour("ts") >= 12, 1).otherwise(0)).alias("n_afternoon"),
         F.sum("value").alias("total_value"),
     )
+    seg = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    daily = daily.join(F.broadcast(seg), "user_id", "left").withColumn(
+        "segment", F.coalesce("c_mktsegment", F.lit("NONE"))
+    ).drop("c_mktsegment")
     w = Window.partitionBy("user_id").orderBy("ds")
     out = (
         daily.withColumn("dow", F.dayofweek("ds").cast("double"))
@@ -59,20 +72,39 @@ def daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prev2_events", F.coalesce(F.lag("n_events", 2).over(w), F.lit(0)).cast("double"))
         .withColumn("label_next", F.lead("n_events").over(w).cast("double"))
         .withColumn("label_next2", F.lead("n_events", 2).over(w).cast("double"))
+        .withColumn("label_click", F.lead("n_click").over(w).cast("double"))
+        .withColumn("label_purchase", F.lead("n_purchase").over(w).cast("double"))
+        .withColumn("label_morning", F.lead("n_morning").over(w).cast("double"))
+        .withColumn("label_afternoon", F.lead("n_afternoon").over(w).cast("double"))
     ).cache()
     _FEATURES_CACHE[key] = out
     return out
 
 
 FEATURES = ("n_events", "n_click", "n_purchase", "total_value", "dow", "prev_events", "prev2_events")
+# battery models also see the daypart measures they forecast
+BATTERY_FEATURES = FEATURES + ("n_morning", "n_afternoon")
+
+# target name -> lead label column; the reference's five RF measures
+# play/down/collect/morning/afternoon (M:327-352) map onto the fixture's
+# events/clicks/purchases/morning/afternoon counts, and its three LR
+# targets play/down/collect (M:186-221) are the first three.
+RF_TARGETS = {
+    "events": "label_next",
+    "clicks": "label_click",
+    "purchases": "label_purchase",
+    "morning": "label_morning",
+    "afternoon": "label_afternoon",
+}
+LR_TARGETS = {k: RF_TARGETS[k] for k in ("events", "clicks", "purchases")}
 
 
-def _train_test(df: DataFrame, label: str):
+def _train_test(df: DataFrame, label: str, features: tuple[str, ...] = FEATURES):
     """Date-based split mirroring M:643-644 (train < Jan 22, test after)."""
     df = df.filter(F.col(label).isNotNull())
     assembled = VectorAssembler(
-        inputCols=[c for c in FEATURES], outputCol="features"
-    ).transform(df.select(*FEATURES, label, "ds", "user_id"))
+        inputCols=list(features), outputCol="features"
+    ).transform(df.select(*features, label, "ds", "user_id"))
     train = assembled.filter(F.col("ds") < "2024-01-22")
     test = assembled.filter(F.col("ds") >= "2024-01-22")
     return train, test
@@ -84,66 +116,131 @@ def _mse(df: DataFrame, label: str, pred: str = "prediction") -> float:
     ).evaluate(df)
 
 
+def _naive_train_mse(train: DataFrame, label: str) -> float:
+    """MSE of predicting the train-label mean — the baseline every
+    fitted model must beat (a model losing to the mean has learned
+    nothing; the reference never checked this)."""
+    [r] = train.agg(F.var_pop(label).alias("v")).collect()
+    return float(r["v"] or 0.0)
+
+
 @query("ml_linear_regression", tags=("ML4", "ML13"))
 def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ML4 (M:186-221): linear regression on the daily feature table.
-    modern `ml` LR (normal-equation/L-BFGS) replaces the deprecated SGD
+    """ML4 (M:186-221): the reference's 3-model linear-regression
+    battery — one LR per action-type target — as per-target MSE rows.
+    Modern `ml` LR (normal-equation/L-BFGS) replaces the deprecated SGD
     trainer whose step-size misconfiguration made the reference's fit
-    collapse to ~0 weights (M:223-234)."""
-    train, test = _train_test(daily_features(spark, sf_dir), "label_next")
-    model = LinearRegression(featuresCol="features", labelCol="label_next").fit(train)
-    mse_train = model.summary.meanSquaredError
-    mse_test = _mse(model.transform(test), "label_next")
-    return spark.createDataFrame(
-        [
+    collapse to ~0 weights (M:223-234); mse_naive (train-mean baseline)
+    is reported so that collapse class is machine-checkable."""
+    feats = daily_features(spark, sf_dir)
+    rows = []
+    for target, label in LR_TARGETS.items():
+        train, test = _train_test(feats, label, BATTERY_FEATURES)
+        model = LinearRegression(featuresCol="features", labelCol=label).fit(train)
+        rows.append(
             (
+                target,
                 int(train.count()),
                 int(test.count()),
-                round(float(mse_train), 4),
-                round(float(mse_test), 4),
+                round(float(model.summary.meanSquaredError), 4),
+                round(float(_mse(model.transform(test), label)), 4),
+                round(_naive_train_mse(train, label), 4),
                 round(float(model.intercept), 4),
             )
-        ],
-        "n_train bigint, n_test bigint, mse_train double, mse_test double, intercept double",
+        )
+    return spark.createDataFrame(
+        rows,
+        "target string, n_train bigint, n_test bigint, mse_train double, "
+        "mse_test double, mse_naive double, intercept double",
     )
 
 
 @query("ml_random_forest", tags=("ML5", "ML13"))
 def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ML5 (M:327-352): RF regressor, reference config (50 trees, depth
-    10, 100 bins), next-day label. Returns test MSE + per-feature
-    importances (rounded) — the reference eyeballed train MSE only."""
-    train, test = _train_test(daily_features(spark, sf_dir), "label_next")
-    rf = RandomForestRegressor(
-        featuresCol="features",
-        labelCol="label_next",
-        numTrees=50,
-        maxDepth=10,
-        maxBins=100,
-        seed=SEED,
-    )
-    model = rf.fit(train)
-    mse_test = _mse(model.transform(test), "label_next")
-    imps = [round(float(x), 4) for x in model.featureImportances.toArray()]
-    rows = [
-        (feat, imp, round(float(mse_test), 4))
-        for feat, imp in zip(FEATURES, imps)
-    ]
+    """ML5 (M:327-352): the reference's 5-model RF battery
+    (play/down/collect/morning/afternoon ~ events/clicks/purchases/
+    morning/afternoon), reference config (50 trees, depth 10, 100
+    bins). One row per (target, feature) with the importance, plus the
+    target's train/test MSE and the train-mean baseline."""
+    feats = daily_features(spark, sf_dir)
+    rows = []
+    for target, label in RF_TARGETS.items():
+        train, test = _train_test(feats, label, BATTERY_FEATURES)
+        rf = RandomForestRegressor(
+            featuresCol="features",
+            labelCol=label,
+            numTrees=50,
+            maxDepth=10,
+            maxBins=100,
+            seed=SEED,
+        )
+        model = rf.fit(train)
+        mse_train = round(float(_mse(model.transform(train), label)), 4)
+        mse_test = round(float(_mse(model.transform(test), label)), 4)
+        mse_naive = round(_naive_train_mse(train, label), 4)
+        for feat, imp in zip(BATTERY_FEATURES, model.featureImportances.toArray()):
+            rows.append(
+                (target, feat, round(float(imp), 4), mse_train, mse_test, mse_naive)
+            )
     return spark.createDataFrame(
-        rows, "feature string, importance double, mse_test double"
+        rows,
+        "target string, feature string, importance double, mse_train double, "
+        "mse_test double, mse_naive double",
     )
+
+
+GBT_MAX_CATEGORIES = 8
+
+
+def _gbt_split(feats: DataFrame, label: str):
+    """Assembly for the GBT with CATEGORICAL features declared, the
+    modern equivalent of the reference's mllib
+    ``categoricalFeaturesInfo {(0,4),(1,8)}`` (M:697, M:1031):
+
+    - ``segment`` (5 market segments + NONE) is StringIndexer-encoded —
+      the (0,4)-style low-cardinality slot;
+    - ``dow`` (7 values) plays the (1,8) slot;
+    - VectorIndexer(maxCategories={GBT_MAX_CATEGORIES}) attaches nominal
+      metadata to every assembled slot with <= {GBT_MAX_CATEGORIES}
+      distinct values, so the tree learner splits them as UNORDERED
+      category sets exactly as categoricalFeaturesInfo did (an indexed
+      category treated as continuous would invent a meaningless
+      ordering over segments). maxBins=32 >= the largest category count,
+      the same constraint mllib enforced.
+
+    Indexers fit on the full feature table (dictionary building is
+    unsupervised; fitting on train-only would crash on unseen test
+    categories), the model itself only ever sees train rows."""
+    df = feats.filter(F.col(label).isNotNull())
+    cols = list(BATTERY_FEATURES) + ["segment_ix"]
+    df = StringIndexer(
+        inputCol="segment", outputCol="segment_ix", handleInvalid="keep"
+    ).fit(df).transform(df)
+    assembled = VectorAssembler(inputCols=cols, outputCol="raw_features").transform(
+        df.select(*cols, label, "ds", "user_id")
+    )
+    assembled = VectorIndexer(
+        inputCol="raw_features",
+        outputCol="features",
+        maxCategories=GBT_MAX_CATEGORIES,
+        handleInvalid="keep",
+    ).fit(assembled).transform(assembled)
+    train = assembled.filter(F.col("ds") < "2024-01-22")
+    test = assembled.filter(F.col("ds") >= "2024-01-22")
+    return train, test
 
 
 @query("ml_gbt_horizon_blend", tags=("ML6", "ML11", "F18", "ML13"))
 def ml_gbt_horizon_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML6+ML11 (M:682-745): two GBDTs — 1-step and 2-step-ahead labels —
-    blended (p1+p2)/2 (F18, M:739-744). Returns the three test MSEs
-    (h1, h2, blend); the blend beating either horizon alone is the
-    reference's attempt-3 result (M:764-765)."""
+    blended (p1+p2)/2 (F18, M:739-744), with the reference's categorical
+    features declared via indexer metadata (see _gbt_split). Returns the
+    three test MSEs (h1, h2, blend); the blend beating either horizon
+    alone is the reference's attempt-3 result (M:764-765)."""
     feats = daily_features(spark, sf_dir)
-    train1, test1 = _train_test(feats, "label_next")
-    train2, _ = _train_test(feats, "label_next2")
-    gbt = dict(featuresCol="features", maxIter=20, maxDepth=5, seed=SEED)
+    train1, test1 = _gbt_split(feats, "label_next")
+    train2, _ = _gbt_split(feats, "label_next2")
+    gbt = dict(featuresCol="features", maxIter=20, maxDepth=5, maxBins=32, seed=SEED)
     m1 = GBTRegressor(labelCol="label_next", **gbt).fit(train1)
     m2 = GBTRegressor(labelCol="label_next2", **gbt).fit(train2)
     p1 = m1.transform(test1).select(

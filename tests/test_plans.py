@@ -87,8 +87,9 @@ def test_partition_pruning_on_partitioned_parquet(spark, tmp_path):
 _AUDIT_EXCLUDE_TAGS = {"ML", "streaming", "stub"}
 # non-equi all-pairs / range joins where a broadcast nested-loop join
 # IS the intended plan (small side broadcast, big side streamed):
+# embedding_neardup_pairs is NOT here: its exact pair space now
+# materializes through the block-partitioned equi-join (no BNLJ).
 _BNLJ_OK = {
-    "embedding_neardup_pairs",  # all-pairs baseline (LSH variant is the scale path)
     "ann_cosine_topk",          # tiny query set broadcast vs corpus
     "local_rows_to_df",         # range-bucket dim broadcast
 }
