@@ -6,7 +6,22 @@ Each query's timing covers the registered callable plus a count()
 action. Most queries return a lazy plan (the count executes it);
 queries that manage caches or streams materialize internally, so their
 number includes that materialization — timings are comparable run-to-
-run, which is what the per-round BENCH comparison needs."""
+run, which is what the per-round BENCH comparison needs.
+
+RUN PROTOCOL (read before comparing numbers across runs/rounds):
+- Run on a QUIET machine. A bench started right after a pytest pass
+  (page cache churn, lingering JVMs, OS write-back of scratch dirs)
+  inflates I/O-heavy queries 30%+ — round 2 published a 1.59x phantom
+  "regression" on byte-identical code this way. Cool down ~1 min after
+  any test run; `uptime` load should be near idle.
+- The three scratch-file queries (parquet_partitioned_roundtrip,
+  csv round-trips, bucketed joins) are the contention canaries: if
+  they regress together while pure-compute queries hold, it's machine
+  state, not code.
+- Treat >1.2x total drift round-over-round as a blocker to explain
+  (re-run after cool-down before believing it), not a number to
+  publish.
+- Reference totals on this container at sf0.1, local[8]: ~28-30s."""
 
 from __future__ import annotations
 

@@ -44,6 +44,15 @@ from ..sources import load
 N_QUERY_USERS = 10
 K_NEIGHBORS = 5
 TOPK_RECS = 5
+# Per-item contributor cap for the KNN self-join: a popular item's
+# raters contribute O(n_i^2) candidate pairs (the classic hot-item
+# blowup); only the item's top-ITEM_CAP raters (rating DESC, user_id
+# tie-break — deterministic on every engine) enter the pair join, so
+# one item can never contribute more than N_QUERY_USERS * ITEM_CAP
+# pairs. The cap BINDS at fixture scale (max raters/item ~53, mean
+# ~30), so the DuckDB oracle — which applies the identical cap —
+# actively verifies the capped semantics rather than a no-op.
+ITEM_CAP = 32
 
 _RATINGS_SQL = """
   SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
@@ -167,9 +176,17 @@ _COS_PAIRS_SQL = f"""
   norms AS (
     SELECT user_id, sqrt(sum(rating * rating)) AS nrm FROM r GROUP BY user_id
   ),
+  contrib AS (
+    SELECT item_id, user_id, rating FROM (
+      SELECT item_id, user_id, rating,
+             ROW_NUMBER() OVER (PARTITION BY item_id
+                                ORDER BY rating DESC, user_id) AS cr
+      FROM r
+    ) WHERE cr <= {ITEM_CAP}
+  ),
   pairs AS (
     SELECT a.user_id AS u, b.user_id AS v, sum(a.rating * b.rating) AS dp
-    FROM r a JOIN r b ON a.item_id = b.item_id AND a.user_id <> b.user_id
+    FROM r a JOIN contrib b ON a.item_id = b.item_id AND a.user_id <> b.user_id
     WHERE a.user_id <= {N_QUERY_USERS}
     GROUP BY a.user_id, b.user_id
   ),
@@ -193,7 +210,11 @@ def _user_cosine_pairs(
 ) -> DataFrame:
     """Sparse user-user cosine: shared-item self-join -> exact integer
     dot products -> normalize. Returns (u, v, sim, rn) ranked per u.
-    Pass a cached ratings frame to avoid re-deriving it per use site."""
+    Pass a cached ratings frame to avoid re-deriving it per use site.
+
+    The self-join's wide side is pre-pruned to each item's top-ITEM_CAP
+    raters (see ITEM_CAP) — the window shuffles on item_id, the same
+    key the join shuffles on, so the cap costs no extra exchange."""
     if r is None:
         r = ratings(spark, sf_dir)
     norms = r.groupBy("user_id").agg(
@@ -202,7 +223,12 @@ def _user_cosine_pairs(
     a = r.select(
         F.col("user_id").alias("u"), "item_id", F.col("rating").alias("ra")
     ).filter(F.col("u") <= N_QUERY_USERS)
-    b = r.select(F.col("user_id").alias("v"), "item_id", F.col("rating").alias("rb"))
+    cw = Window.partitionBy("item_id").orderBy(F.desc("rating"), F.asc("user_id"))
+    b = (
+        r.withColumn("cr", F.row_number().over(cw))
+        .filter(F.col("cr") <= ITEM_CAP)
+        .select(F.col("user_id").alias("v"), "item_id", F.col("rating").alias("rb"))
+    )
     pairs = (
         a.join(b, ["item_id"])
         .filter(F.col("u") != F.col("v"))
