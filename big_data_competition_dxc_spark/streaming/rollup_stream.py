@@ -24,12 +24,32 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
+
+
+@contextmanager
+def nanos_conf_scope(spark: SparkSession):
+    """Hold the TIMESTAMP(NANOS)-as-long legacy conf for the duration of
+    a streaming query's EXECUTION (micro-batches decode the staged
+    parquet at run time, unlike batch reads whose schema resolves
+    eagerly), restoring the previous session value on exit so the conf
+    never leaks."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def staged_events_stream(spark: SparkSession, sf_dir: str):
@@ -70,36 +90,26 @@ def drain_to_memory(spark: SparkSession, agg: DataFrame, stage: str, mode: str) 
 
     sink = f"sink_{_uuid.uuid4().hex[:8]}"
     q = None
-    # Micro-batches decode the staged TIMESTAMP(NANOS) parquet during
-    # execution, so the legacy conf must hold for the stream's lifetime
-    # — scoped here (set before start, restored after termination) so it
-    # never leaks into the rest of the session.
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return spark.table(sink).collect()
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-        # a failed stream must not leak the query, sink view, or stage dir
-        if q is not None and q.isActive:
-            q.stop()
+    with nanos_conf_scope(spark):
         try:
-            spark.catalog.dropTempView(sink)
-        except Exception:
-            pass
-        shutil.rmtree(stage, ignore_errors=True)
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.table(sink).collect()
+        finally:
+            # a failed stream must not leak the query, sink view, or stage dir
+            if q is not None and q.isActive:
+                q.stop()
+            try:
+                spark.catalog.dropTempView(sink)
+            except Exception:
+                pass
+            shutil.rmtree(stage, ignore_errors=True)
 
 
 def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

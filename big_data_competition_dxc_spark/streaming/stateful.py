@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.rounding import sql_round
+from ..functions.rounding import sql_fixed_sum
 from ..plans.registry import query
 
 
@@ -35,20 +35,25 @@ def _update_user_totals(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Fold each Arrow batch into the (n, v) state row; emit the running
-    total after the batch (update mode)."""
-    n, v = state.get if state.exists else (0, 0.0)
+    """Fold each Arrow batch into the (n, cents) state row; emit the
+    running total after the batch (update mode). The value sum is
+    accumulated as EXACT INTEGER CENTS (same fixed_sum discipline as
+    the batch engine): a float fold's last ulp depends on row order
+    within the Arrow batch, which the oracle's hash compare would see."""
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        v += float(pdf["value"].sum())
-    state.update((n, v))
-    import math
-
+        cents += int(
+            np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+        )
+    state.update((n, cents))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [math.floor(v * 100.0 + 0.5) / 100.0],
+            "total_value": [cents / 100.0],
         }
     )
 
@@ -58,7 +63,7 @@ def _update_user_totals(
     oracle=f"""
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       {sql_round('SUM(value)', 2)} AS total_value
+       {sql_fixed_sum('value', 2, 2)} AS total_value
 FROM events
 GROUP BY user_id
 """,
@@ -75,7 +80,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, v double",
+        stateStructType="n bigint, v bigint",  # v = exact integer cents
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
