@@ -119,3 +119,43 @@ def test_sessionize_exact_boundary_microseconds(spark, tmp_path):
         sessions.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(sessions[100]) == [1, 2]  # [e1,e2] together, e3 alone
     assert sessions[200] == [2]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(1, 10**7).map(lambda n: n / 100.0), min_size=2, max_size=200),
+    st.integers(1, 16),
+    st.integers(1, 16),
+)
+def test_fixed_sum_avg_order_independent(spark, values, parts_a, parts_b):
+    """fixed_sum/fixed_avg must return BIT-IDENTICAL doubles regardless
+    of partitioning (the whole point: plain SUM(double) varies in its
+    last ulp with partition order, which the oracle hash gate sees),
+    and must agree with DuckDB's exact integer accumulation."""
+    from big_data_competition_dxc_spark.functions.rounding import (
+        fixed_avg,
+        fixed_sum,
+        sql_fixed_avg,
+        sql_fixed_sum,
+    )
+    from pyspark.sql import functions as F
+
+    def run(n_parts):
+        df = spark.createDataFrame([(v,) for v in values], "x double").repartition(n_parts)
+        [r] = df.agg(
+            fixed_sum(F.col("x"), 2, 2).alias("s"),
+            fixed_avg(F.col("x"), 2, 4).alias("a"),
+        ).collect()
+        return r["s"], r["a"]
+
+    ra, rb = run(parts_a), run(parts_b)
+    assert ra == rb  # partitioning-invariant, bitwise
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    [oracle] = con.execute(
+        f"SELECT {sql_fixed_sum('x', 2, 2)} AS s, {sql_fixed_avg('x', 2, 4)} AS a FROM t"
+    ).fetchall()
+    con.close()
+    assert ra == oracle  # cross-engine, bitwise
