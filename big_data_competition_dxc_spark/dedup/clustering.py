@@ -1,0 +1,159 @@
+"""Connected-components clustering over the near-dup pair graph.
+
+Pair detection (jaccard/minhash/simhash) tells you WHICH documents
+overlap; curation needs to know which FAMILY each document belongs to
+so exactly one canonical copy survives. That is connected components
+over the pair graph — transitive: if A~B and B~C, all three are one
+family even when A and C share nothing directly. The reference has no
+graph operator at all (SURVEY §2); this is the step that makes its
+DISTINCT-style dedup (流行音乐趋势预测.md:42) work on *near*-dups.
+
+Algorithm: iterative min-label propagation expressed as DataFrame ops —
+each round every node takes the minimum label among itself and its
+neighbors; converges in O(graph diameter) rounds. Near-dup families are
+dense and tiny (diameter 1-3), so this beats the O(log n)-round
+large-star/small-star of Kiveris et al. (CC in MapReduce, SoCC'14) in
+practice: fewer rounds AND each round is one shuffle on the node id.
+Driver involvement per round is a single scalar (sum of labels,
+monotonically decreasing — the convergence test); labels stay
+distributed throughout, lineage truncated per round with
+localCheckpoint so plans don't grow with iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load
+from .jaccard import _JACCARD_ORACLE, jaccard_pairs_frame
+
+MAX_ROUNDS = 25
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id) nodes + undirected (u, v) edges -> (id, label) where label is
+    the minimum node id reachable from id (= the component id).
+
+    Each round: one shuffle to aggregate neighbor minima, one broadcast-
+    able left join back onto the label frame, one scalar to the driver.
+    Raises if MAX_ROUNDS rounds don't converge (diameter > MAX_ROUNDS —
+    not a near-dup graph shape)."""
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(MAX_ROUNDS):
+        nmin = (
+            sym.join(labels.select(F.col("id").alias("v"), "label"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist()
+        labels = new_labels
+        # labels only ever decrease, so the sum strictly decreases until
+        # the fixpoint — one scalar action per round, no row-level diff.
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            sym.unpersist()
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixpoint in {MAX_ROUNDS} rounds")
+
+
+# DuckDB twin: recursive transitive closure over the same Jaccard pair
+# graph, component id = min reachable doc_id (self for singletons).
+_COMPONENTS_CLOSURE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+assignment AS (
+  SELECT d.doc_id,
+         CAST(LEAST(COALESCE(MIN(r.v), d.doc_id), d.doc_id) AS BIGINT)
+           AS component_id
+  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+  GROUP BY d.doc_id
+)
+"""
+
+_COMPONENTS_ORACLE = _COMPONENTS_CLOSURE + "SELECT doc_id, component_id FROM assignment"
+
+_STATS_ORACLE = (
+    _COMPONENTS_CLOSURE
+    + """
+SELECT component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM assignment
+GROUP BY component_id
+HAVING COUNT(*) >= 2
+"""
+)
+
+
+def _component_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs_frame(docs).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return connected_components(nodes, edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+@query(
+    "neardup_components",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("dedup", "clustering", "graph"),
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's near-dup family id (min doc_id reachable through
+    the Jaccard>=0.5 pair graph; singletons map to themselves). The
+    canonical copy of each family is doc_id == component_id; dropping
+    the rest is one filter."""
+    return _component_assignment(spark, sf_dir)
+
+
+@query(
+    "neardup_component_stats",
+    oracle=_STATS_ORACLE,
+    tags=("dedup", "clustering", "graph"),
+)
+def neardup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per multi-document family: size and how many copies dedup would
+    drop — the curation yield report (total corpus shrink = sum of
+    n_dropped)."""
+    comp = _component_assignment(spark, sf_dir)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "component_id",
+            "n_docs",
+            (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
+        )
+    )

@@ -74,12 +74,10 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
 
 
-@query("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs with 3-word-shingle Jaccard >= 0.5 (the fixture
-    plants true near-dups up to J=0.99). Join-on-shingle keeps the
-    candidate set sparse; the shuffle key is the shingle string."""
-    docs = load(spark, sf_dir, "documents")
+def jaccard_pairs_frame(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair with 3-word-shingle Jaccard
+    >= JACCARD_THRESHOLD (doc_a < doc_b, jaccard unrounded). The reusable
+    edge source for near-dup clustering (dedup/clustering.py)."""
     sh = shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -94,5 +92,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", round_to(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@query("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-word-shingle Jaccard >= 0.5 (the fixture
+    plants true near-dups up to J=0.99). Join-on-shingle keeps the
+    candidate set sparse; the shuffle key is the shingle string."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_frame(docs)
+    return pairs.select(
+        "doc_a", "doc_b", round_to(F.col("jaccard"), 4).alias("jaccard")
     )

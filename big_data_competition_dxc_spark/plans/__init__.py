@@ -58,6 +58,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.streaming.sinks",
         "big_data_competition_dxc_spark.operators.observability",
         "big_data_competition_dxc_spark.textops.curation",
+        "big_data_competition_dxc_spark.dedup.clustering",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

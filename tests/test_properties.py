@@ -159,3 +159,25 @@ def test_fixed_sum_avg_order_independent(spark, values, parts_a, parts_b):
     ).fetchall()
     con.close()
     assert ra == oracle  # cross-engine, bitwise
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation on a worst-case chain (diameter = n-1) plus
+    a clique and a singleton: every node must land on its component's
+    minimum id, and the chain must still converge within MAX_ROUNDS."""
+    from pyspark.sql import functions as F
+
+    from big_data_competition_dxc_spark.dedup.clustering import connected_components
+
+    # chain 10-11-12-...-19 (diameter 9), clique {30,31,32}, singleton 99
+    chain = [(i, i + 1) for i in range(10, 19)]
+    clique = [(30, 31), (30, 32), (31, 32)]
+    edges = spark.createDataFrame(chain + clique, "u bigint, v bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10, 20)] + [(30,), (31,), (32,), (99,)], "id bigint"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {**{i: 10 for i in range(10, 20)}, 30: 30, 31: 30, 32: 30, 99: 99}
