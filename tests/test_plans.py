@@ -92,6 +92,8 @@ _AUDIT_EXCLUDE_TAGS = {"ML", "streaming", "stub"}
 _BNLJ_OK = {
     "ann_cosine_topk",          # tiny query set broadcast vs corpus
     "local_rows_to_df",         # range-bucket dim broadcast
+    "tfidf_top_terms",          # 1-row corpus-stats scalar attach
+    "bm25_topk_docs",           # 1-row corpus-stats scalar attach
 }
 
 
