@@ -201,3 +201,85 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_exact")
         .agg(F.min("cnt").alias("n_estimate"))
     )
+
+
+BURST_VALUE_MIN = 330.0
+BURST_HOURS = 2
+
+
+@query(
+    "interval_join_binned",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id AS window_id, ts AS w_start,
+         ts + INTERVAL {BURST_HOURS} HOUR AS w_end
+  FROM events WHERE event_type = 'error' AND value > {BURST_VALUE_MIN}
+),
+wb AS (
+  SELECT window_id, w_start, w_end,
+         unnest(generate_series(date_trunc('hour', w_start),
+                                date_trunc('hour', w_end),
+                                INTERVAL 1 HOUR)) AS bin
+  FROM w
+),
+ev AS (
+  SELECT event_id, user_id, ts, date_trunc('hour', ts) AS bin FROM events
+)
+SELECT window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM wb JOIN ev USING (bin)
+WHERE ev.ts >= w_start AND ev.ts < w_end AND ev.event_id != window_id
+GROUP BY window_id
+""",
+    tags=("range-join", "J3", "binned"),
+)
+def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi-key — the case the key-anchored range
+    join above can't cover: every event falling inside ANY error-burst
+    window [ts, ts+{BURST_HOURS}h) of a high-value error. Naively this
+    is a cross join with a band predicate (quadratic); binning makes it
+    an equi-join: each window explodes into the hour bins it covers
+    (≤{BURST_HOURS}+1 rows), each event maps to exactly one bin, the
+    join key is the bin, and the band predicate is a residual filter.
+    An event meets a window in exactly one bin (the event's own), so no
+    dedup pass is needed. At 100 TB the bin is the shuffle key — hot
+    hours skew-split by AQE; bin width trades fanout (wider = fewer
+    window rows) against join selectivity (narrower = fewer false
+    bin-mates), the same knob as Databricks' range-join bin hints."""
+    e = load(spark, sf_dir, "events")
+    w = e.filter(
+        (F.col("event_type") == "error") & (F.col("value") > BURST_VALUE_MIN)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {BURST_HOURS} HOURS")).alias("w_end"),
+    )
+    wb = w.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.date_trunc("hour", "w_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    ev = e.select(
+        "event_id", "user_id", "ts", F.date_trunc("hour", "ts").alias("bin")
+    )
+    return (
+        wb.join(ev, "bin")
+        .filter(
+            (F.col("ts") >= F.col("w_start"))
+            & (F.col("ts") < F.col("w_end"))
+            & (F.col("event_id") != F.col("window_id"))
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

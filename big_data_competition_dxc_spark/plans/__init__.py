@@ -60,6 +60,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.textops.curation",
         "big_data_competition_dxc_spark.dedup.clustering",
         "big_data_competition_dxc_spark.textops.relevance",
+        "big_data_competition_dxc_spark.operators.funnel",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry
