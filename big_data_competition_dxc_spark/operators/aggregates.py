@@ -12,7 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import fixed_avg, fixed_sum, round_to, sql_fixed_avg, sql_fixed_sum, sql_round
+from ..functions.rounding import (
+    fixed_avg,
+    fixed_sum,
+    round_to,
+    sql_fixed_avg,
+    sql_fixed_sum,
+    sql_round,
+    sql_units,
+    to_units,
+)
 from ..plans.registry import query
 from ..sources import load
 
@@ -299,4 +308,146 @@ def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _oc
         GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
         """
+    )
+
+
+HIST_WIDTH = 25_000.0
+HIST_BINS = 20
+
+
+@query(
+    "price_histogram",
+    oracle=f"""
+SELECT CAST(LEAST(floor(o_totalprice / {HIST_WIDTH}), {HIST_BINS - 1}) AS BIGINT)
+         AS bin,
+       CAST(CAST(LEAST(floor(o_totalprice / {HIST_WIDTH}), {HIST_BINS - 1}) AS BIGINT)
+         * {HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("A1", "histogram"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: floor-divide into
+    {HIST_BINS} bins with the top bin clamped (width_bucket semantics,
+    spelled in arithmetic both engines share bit-for-bit). The profiling
+    primitive behind any numeric distribution dashboard — one map-side
+    bin computation, one {HIST_BINS}-group aggregate; no sort, no
+    window, so it scales as a pure partial-agg scan."""
+    o = load(spark, sf_dir, "orders")
+    bin_ = (
+        F.least(F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_BINS - 1))
+        .cast("bigint")
+    )
+    return (
+        o.groupBy(bin_.alias("bin"), (bin_ * HIST_WIDTH).alias("bin_lo"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+        )
+    )
+
+
+DECILE_QS = tuple(i / 10 for i in range(1, 10))
+
+_DECILE_ORACLE = f"""
+WITH b AS (
+  SELECT {", ".join(f"quantile_cont(o_totalprice, {q}) AS q{i}" for i, q in enumerate(DECILE_QS, 1))}
+  FROM orders
+)
+SELECT CAST(1 {" ".join(f"+ (CASE WHEN o_totalprice > q{i} THEN 1 ELSE 0 END)" for i in range(1, 10))}
+         AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
+FROM orders, b
+GROUP BY 1
+"""
+
+
+@query("price_decile_stats", oracle=_DECILE_ORACLE, tags=("A9", "W4", "quantile"))
+def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning WITHOUT the single-partition
+    global sort ntile() costs: exact quantile boundaries come from one
+    distributed percentile aggregate, the 1-row boundary frame is
+    broadcast back onto the fact, and the decile is 9 scalar compares.
+    That is the 100 TB shape — two scans, zero global sorts. Boundary
+    determinism: both engines interpolate lower + frac*(upper-lower);
+    when neighbors differ the boundary falls strictly between two
+    2-decimal prices (no row can sit on it), and when they are equal it
+    IS that price exactly in both engines, so the > compares agree
+    bit-for-bit."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"q{i}")
+            for i, q in enumerate(DECILE_QS, 1)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(F.col("o_totalprice") > F.col(f"q{i}"), 1).otherwise(0)
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(decile.cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+        )
+    )
+
+
+_SHARE_ORACLE = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         SUM({sql_units('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS units
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT nation,
+       {sql_round('CAST(units AS DOUBLE) / 10000.0', 2)} AS revenue,
+       {sql_round('CAST(units AS DOUBLE) / CAST(SUM(units) OVER () AS DOUBLE)', 6)}
+         AS revenue_share
+FROM rev
+"""
+
+
+@query("revenue_share_by_nation", oracle=_SHARE_ORACLE, tags=("A4", "W4", "J4"))
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global discounted
+    revenue. The fact aggregates once (broadcast dim joins, exact
+    integer-unit sums), then the window total runs over the
+    25-row nation frame — percent-of-total never touches the fact
+    twice, and the share divides two exact integers, so it is
+    bit-identical in any engine. The 100 TB shape: one fact shuffle,
+    window over a dimension-sized aggregate."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("units")
+        )
+    )
+    total = F.sum("units").over(Window.partitionBy())
+    return rev.select(
+        "nation",
+        round_to(F.col("units").cast("double") / 10000.0, 2).alias("revenue"),
+        round_to(F.col("units").cast("double") / total.cast("double"), 6).alias(
+            "revenue_share"
+        ),
     )

@@ -151,3 +151,52 @@ def mse_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_avg(F.pow(F.col("rating") - F.col("pred"), 2), 8, 4).alias("mse"),
         )
     )
+
+
+MIN_SUPPORT = 3
+
+_AFFINITY_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders
+FROM pairs WHERE n_orders >= {MIN_SUPPORT}
+"""
+
+
+@query("part_affinity_pairs", oracle=_AFFINITY_ORACLE, tags=("J2", "A1", "affinity"))
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in at
+    least {MIN_SUPPORT} orders. The pair generation is a self-join
+    EQUI-keyed on the order — fanout is items-per-order squared (a
+    small constant), never corpus-squared, which is what keeps basket
+    analysis linear at 100 TB; the distinct-first projection stops
+    duplicate line items from inflating counts, and ``part_a <
+    part_b`` canonicalizes each unordered pair to one row."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= MIN_SUPPORT)
+    )

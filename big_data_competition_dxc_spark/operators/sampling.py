@@ -107,3 +107,50 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_events",
         err("approx_events", "exact_events").alias("rel_err_events"),
     )
+
+
+_REBALANCE_ORACLE = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+t AS (SELECT lang, MIN(n_lang) OVER () AS target FROM counts),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN t USING (lang)
+WHERE r.rk <= t.target
+"""
+
+
+@query("class_rebalance_downsample", oracle=_REBALANCE_ORACLE, tags=("U4", "sampling", "rebalance"))
+def class_rebalance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance a training corpus by downsampling every language
+    to the smallest class's size — deterministically: docs are ranked
+    within each class by a content hash (not RNG), so the same rows
+    survive on every engine, run, and cluster size, and raising the
+    target only ADDS rows (stable incremental splits). The target is a
+    window-min over the per-class counts (a 5-row frame) equi-joined
+    back by class — no scalar cross join, and the fact table shuffles
+    once for the rank."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_bigint
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    targets = counts.select(
+        "lang", F.min("n_lang").over(Window.partitionBy()).alias("target")
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        md5_bigint(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "lang", "rk")
+    )

@@ -14,10 +14,11 @@ counters, which is why it works as a streaming/distributed sketch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint, sql_md5_bigint
+from ..functions.rounding import round_to
 from ..plans.registry import query
 from ..sources import load
 
@@ -282,4 +283,110 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+_INTERP_ORACLE = """
+WITH span AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts,
+         CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+  FROM span
+),
+merged AS (
+  SELECT user_id, ts, value, is_grid FROM grid
+  UNION ALL
+  SELECT user_id, ts, value, 0 AS is_grid FROM events
+),
+bracketed AS (
+  SELECT user_id, ts, value, is_grid,
+         LAST_VALUE(value IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         LAST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+         FIRST_VALUE(value IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         FIRST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+  FROM merged
+)
+SELECT user_id, ts,
+       (floor((CASE
+          WHEN prev_val IS NULL THEN next_val
+          WHEN next_val IS NULL THEN prev_val
+          WHEN next_us = prev_us THEN prev_val
+          ELSE prev_val + (next_val - prev_val)
+               * (CAST(epoch_us(ts) - prev_us AS DOUBLE)
+                  / CAST(next_us - prev_us AS DOUBLE))
+        END) * 1000000.0 + 0.5) / 1000000.0) AS value_interp
+FROM bracketed
+WHERE is_grid = 1
+"""
+
+
+@query("linear_interpolate_hourly", oracle=_INTERP_ORACLE, tags=("W1", "timeseries", "gapfill"))
+def linear_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular readings onto an hourly grid with
+    LINEAR interpolation (the gap-fill beyond lag_densified_window's
+    zero-fill and LOCF): union the generated spine with the raw
+    readings, bracket every grid point with its nearest reading on
+    each side via IGNORE-NULLS running first/last — one user_id
+    shuffle, no self-join, no per-gap explode — then blend by the
+    microsecond-exact time fraction. Edges fall back to the nearest
+    reading (bfill/ffill). ``is_grid`` breaks ts ties so a reading
+    coinciding with a grid point deterministically brackets it on both
+    engines; the blend arithmetic is the same IEEE expression on both
+    sides, so 6dp rounding is stable."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    merged = grid.unionAll(ev.withColumn("is_grid", F.lit(0)))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    reading_us = F.when(
+        F.col("value").isNotNull(), F.unix_micros(F.col("ts"))
+    )
+    bracketed = (
+        merged.withColumn("prev_val", F.last("value", ignorenulls=True).over(wb))
+        .withColumn("prev_us", F.last(reading_us, ignorenulls=True).over(wb))
+        .withColumn("next_val", F.first("value", ignorenulls=True).over(wf))
+        .withColumn("next_us", F.first(reading_us, ignorenulls=True).over(wf))
+    )
+    frac = (F.unix_micros(F.col("ts")) - F.col("prev_us")).cast("double") / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    interp = (
+        F.when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .when(F.col("next_us") == F.col("prev_us"), F.col("prev_val"))
+        .otherwise(F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac)
+    )
+    return bracketed.filter(F.col("is_grid") == 1).select(
+        "user_id", "ts", round_to(interp, 6).alias("value_interp")
     )

@@ -61,6 +61,11 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.dedup.clustering",
         "big_data_competition_dxc_spark.textops.relevance",
         "big_data_competition_dxc_spark.operators.funnel",
+        "big_data_competition_dxc_spark.operators.behavior",
+        "big_data_competition_dxc_spark.dedup.fuzzy",
+        "big_data_competition_dxc_spark.streaming.dedup_stream",
+        "big_data_competition_dxc_spark.operators.history",
+        "big_data_competition_dxc_spark.operators.audit",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

@@ -94,6 +94,8 @@ _BNLJ_OK = {
     "local_rows_to_df",         # range-bucket dim broadcast
     "tfidf_top_terms",          # 1-row corpus-stats scalar attach
     "bm25_topk_docs",           # 1-row corpus-stats scalar attach
+    "price_decile_stats",       # 1-row quantile-boundary scalar attach
+    "referential_integrity_audit",  # 1-row orphan-count scalar attach per edge
 }
 
 
