@@ -451,3 +451,39 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+_ROLLUP_ORACLE = f"""
+WITH om AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         o_totalprice
+  FROM orders
+)
+SELECT yr, mo,
+       CAST(GROUPING(yr) AS INT) AS g_yr,
+       CAST(GROUPING(mo) AS INT) AS g_mo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
+FROM om
+GROUP BY ROLLUP (yr, mo)
+"""
+
+
+@query("rollup_year_month", oracle=_ROLLUP_ORACLE, tags=("A6", "cube"))
+def rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over the date hierarchy — per-month,
+    per-year subtotals and the grand total in ONE pass (an Expand node
+    feeding one shuffle, exactly like CUBE/GROUPING SETS); GROUPING()
+    flags disambiguate subtotal rows from real NULLs."""
+    om = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        "o_totalprice",
+    )
+    return om.rollup("yr", "mo").agg(
+        F.grouping("yr").cast("int").alias("g_yr"),
+        F.grouping("mo").cast("int").alias("g_mo"),
+        F.count("*").alias("n_orders"),
+        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+    )

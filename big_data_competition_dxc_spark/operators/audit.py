@@ -122,3 +122,70 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (-best.getField("neg_k")).cast("bigint").alias("hottest_key"),
     )
+
+
+MAD_K = 3.0
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       {sql_round('d.med', 4)} AS median_value,
+       {sql_round('a.mad', 4)} AS mad_value,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K} * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type, d.med, a.mad
+"""
+
+
+@query("robust_outlier_mad", oracle=_MAD_ORACLE, tags=("A9", "audit", "robust"))
+def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier audit per event type — the
+    quality-scoring complement to the z-score outlier filter
+    (operators/filters.py), immune to the outliers it is hunting:
+    median and median-absolute-deviation come from two grouped
+    percentile aggregates (each a distributed partial-agg, 5-row
+    results broadcast back), and a row is an outlier beyond
+    {MAD_K} x MAD. Both engines evaluate the identical interpolation
+    and compare, so the boundary is engine-exact. Two fact scans total
+    — the price of exact medians; the documented approximate path is
+    percentile_approx with one scan."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "event_type",
+            round_to(F.col("med"), 4).alias("median_value"),
+            round_to(F.col("mad"), 4).alias("mad_value"),
+            "n_outliers",
+            "n_rows",
+        )
+    )

@@ -248,3 +248,39 @@ def cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("ds").rowsBetween(Window.unboundedPreceding, 0)
     return daily.withColumn("cumulative_users", F.sum("new_users").over(w))
+
+
+DEBOUNCE_S = 300
+
+_DEBOUNCE_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_id, user_id, ts, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(floor(epoch(ts) / {DEBOUNCE_S}) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("debounce_first_per_window", oracle=_DEBOUNCE_ORACLE, tags=("W4", "A7", "dedup"))
+def debounce_first_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle: keep each user's FIRST event per
+    {DEBOUNCE_S}-second tumbling window — the rate-limiting dedup for
+    double-clicks, retry storms, and sensor chatter. row_number over
+    (user, window) with Spark's own ``F.window`` bucketing (the oracle
+    mirrors it as floor(epoch/width)); one shuffle on the composite
+    key, per-group state of 1. Unlike DISTINCT this keeps a
+    representative row with ALL its columns."""
+    w = Window.partitionBy(
+        "user_id", F.window("ts", f"{DEBOUNCE_S} seconds")
+    ).orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -66,6 +66,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.streaming.dedup_stream",
         "big_data_competition_dxc_spark.operators.history",
         "big_data_competition_dxc_spark.operators.audit",
+        "big_data_competition_dxc_spark.ml.fpm",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

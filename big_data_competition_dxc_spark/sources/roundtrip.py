@@ -252,3 +252,43 @@ def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, "ds date, n_types bigint, n_events bigint")
+
+
+@query(
+    "json_roundtrip_source",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("S1", "S4", "json"),
+)
+def json_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a source/sink format (the S1/S4 surface beyond CSV
+    and parquet): export orders to JSONL, re-ingest with an EXPLICIT
+    schema — schema inference on JSON costs a full extra pass at 100 TB
+    and types drift per-file — and aggregate. Doubles survive the text
+    round-trip exactly (Spark writes shortest-roundtrip decimals), so
+    the oracle over the pristine parquet must hash-match."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="json_rt_")
+    orders.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_totalprice double"
+    ).json(out)
+    agg = back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+    )
+    rows = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, o_orderpriority string, n_orders bigint, "
+        "total_price double",
+    )

@@ -1,0 +1,162 @@
+"""Semantic invariants of the behavioral / temporal / audit operator
+families — properties the DuckDB hash gate can't see (it proves
+Spark == oracle, not that BOTH mean what the operator claims). Each
+test pins a law of the operator's definition on the fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_competition_dxc_spark import plans
+from big_data_competition_dxc_spark.sources import load
+
+from conftest import SF_TEST_DIR
+
+plans.load_all()
+
+
+def _df(name, spark):
+    return plans.QUERIES[name].fn(spark, SF_TEST_DIR)
+
+
+def test_funnel_stages_are_ordered(spark):
+    """Stage timestamps must be strictly increasing where present, and
+    the stage number must match which timestamps exist."""
+    rows = _df("funnel_view_click_purchase", spark).collect()
+    assert rows
+    for r in rows:
+        if r.t_click is not None:
+            assert r.t_view is not None and r.t_click > r.t_view
+        if r.t_purchase is not None:
+            assert r.t_click is not None and r.t_purchase > r.t_click
+        expected = 3 if r.t_purchase else 2 if r.t_click else 1 if r.t_view else 0
+        assert r.stage == expected
+
+
+def test_cohort_retention_anchors_at_one(spark):
+    """Week-0 retention is exactly 1.0 (every user is active in their
+    own first week), and no offset exceeds the cohort size."""
+    rows = _df("cohort_retention", spark).collect()
+    assert rows
+    week0 = [r for r in rows if r.week_offset == 0]
+    assert week0 and all(r.retention == 1.0 for r in week0)
+    assert all(0 < r.n_active <= r.cohort_size for r in rows)
+
+
+def test_markov_rows_normalize(spark):
+    """Each prev_type's transition probabilities sum to ~1."""
+    rows = _df("markov_transitions", spark).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r.p_transition)
+    assert by_prev
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, prev
+
+
+def test_scd2_periods_tile_history(spark):
+    """Per user: exactly one open (current) period, period event counts
+    sum to the user's total events, and half-open intervals chain
+    (every valid_to equals the next valid_from — guaranteed by
+    construction via lead — with no NULL gaps in between)."""
+    out = _df("scd2_type_periods", spark)
+    per_user = (
+        out.groupBy("user_id")
+        .agg(
+            F.sum("is_current").alias("n_open"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    totals = {
+        r.user_id: r.n
+        for r in load(spark, SF_TEST_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_user
+    for r in per_user:
+        assert r.n_open == 1
+        assert r.n_events == totals[r.user_id]
+
+
+def test_time_weighted_avg_is_bounded(spark):
+    """A time-weighted mean can never leave [min, max] of the user's
+    readings."""
+    twa = {r.user_id: r.twa_value for r in _df("time_weighted_avg", spark).collect()}
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in load(spark, SF_TEST_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert twa
+    for uid, v in twa.items():
+        lo, hi = bounds[uid]
+        assert lo - 1e-6 <= v <= hi + 1e-6
+
+
+def test_interpolation_is_bounded(spark):
+    """Linear interpolation (with edge ffill/bfill) stays within each
+    user's observed value range."""
+    interp = _df("linear_interpolate_hourly", spark)
+    bounds = (
+        load(spark, SF_TEST_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        interp.join(bounds, "user_id")
+        .filter(
+            (F.col("value_interp") < F.col("lo") - 1e-6)
+            | (F.col("value_interp") > F.col("hi") + 1e-6)
+        )
+        .count()
+    )
+    assert bad == 0
+    assert interp.filter(F.col("value_interp").isNull()).count() == 0
+
+
+def test_hopping_windows_cover_each_event_twice(spark):
+    """WIN/HOP = 2, so summed window counts are exactly 2x the events."""
+    total = load(spark, SF_TEST_DIR, "events").count()
+    windows = _df("hopping_window_counts", spark)
+    assert windows.agg(F.sum("n_events")).collect()[0][0] == 2 * total
+
+
+def test_class_rebalance_equalizes(spark):
+    """After downsampling, every class has exactly the min class size."""
+    docs = load(spark, SF_TEST_DIR, "documents")
+    target = min(
+        r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    out = (
+        _df("class_rebalance_downsample", spark)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(out) == 5
+    assert all(r.n == target for r in out)
+
+
+def test_decile_bins_partition_orders(spark):
+    """Decile stats cover every order exactly once with monotone bins."""
+    rows = sorted(_df("price_decile_stats", spark).collect(), key=lambda r: r.decile)
+    n_orders = load(spark, SF_TEST_DIR, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_price <= b.min_price
+
+
+def test_integrity_audit_is_clean_on_fixture(spark):
+    """The synthetic star schema must have zero orphans on every edge —
+    a nonzero count here means the audit (or the fixture) broke."""
+    rows = _df("referential_integrity_audit", spark).collect()
+    assert len(rows) == 7
+    assert all(r.n_orphans == 0 for r in rows)
+    assert all(r.n_child_rows >= r.n_child_keys > 0 for r in rows)
