@@ -53,7 +53,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts table); cohort sizes are a tiny per-week aggregate joined
     back by broadcast. Both engines truncate weeks to Monday. At 100 TB
     the plan is one user_id exchange + one group-by on (week, offset) —
-    the distinct bounds state to users x weeks, not raw events."""
+    the distinct bounds state to users x weeks, not raw events. The
+    cohort SIZE is by definition n_active at offset 0 (everyone is
+    active in their first week), so it is read back from the SAME
+    grouped aggregate instead of a second pass over events — the two
+    branches share one exchange (AQE reuses it) and the fact lineage
+    is scanned once."""
     w = Window.partitionBy("user_id")
     base = (
         load(spark, sf_dir, "events")
@@ -64,21 +69,19 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = base.groupBy("cohort_week").agg(
-        F.countDistinct("user_id").alias("cohort_size")
-    )
     offset = (F.datediff("active_week", "cohort_week") / 7).cast("bigint")
-    return (
-        base.groupBy("cohort_week", offset.alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_week")
-        .select(
-            "cohort_week",
-            "week_offset",
-            "n_active",
-            "cohort_size",
-            round_to(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
-        )
+    grouped = base.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = grouped.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return grouped.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        round_to(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
 
 
