@@ -203,3 +203,32 @@ def test_read_csv_arity_and_cast_semantics(spark, tmp_path):
     assert set(rows) == {1, 4}
     assert rows[1].score == 2.5 and rows[1].tag == "a"
     assert rows[4].score is None
+
+
+# ---- shuffle budgets -------------------------------------------------------
+# The scale claim each behavioral/temporal docstring makes, pinned: the
+# number of shuffle Exchanges in the optimized plan must not exceed the
+# documented budget (windows/aggregates sharing a partitioning collapse
+# onto one exchange; a regression here means an extra full-data shuffle).
+
+import re  # noqa: E402
+
+_SHUFFLE_BUDGETS = {
+    "funnel_view_click_purchase": 1,   # 3 windows + distinct, all on user_id
+    "scd2_type_periods": 1,            # flag -> islands -> rollup -> lead
+    "sessionize_batch": 1,             # lag -> flag -> running sum -> group
+    "silence_gap_audit": 1,
+    "time_weighted_avg": 1,
+    "debounce_first_per_window": 1,
+    "event_paths_opening": 2,          # user window + path group
+    "markov_transitions": 3,           # user lag + 25-row matrix post-processing
+    "cumulative_reach": 3,             # user agg + day agg + day-frame window
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(_SHUFFLE_BUDGETS.items()))
+def test_shuffle_budget(name, budget, spark):
+    df = plans.QUERIES[name].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    n = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    assert n <= budget, f"{name}: {n} shuffle exchanges, budget {budget}"
