@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to, sql_round
+from ..functions.rounding import round_to, sql_round, sql_units, to_units
 from ..plans.registry import query
 from ..sources import load
 
@@ -286,4 +286,78 @@ def debounce_first_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+_RFM_ORACLE = f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS r_days,
+         CAST(COUNT(*) AS BIGINT) AS f_orders,
+         CAST(SUM({sql_units('o_totalprice', 2)}) AS DOUBLE) AS m_units
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT quantile_cont(r_days, 0.5) AS r_med,
+         quantile_cont(f_orders, 0.5) AS f_med,
+         quantile_cont(m_units, 0.5) AS m_med
+  FROM rfm
+)
+SELECT (CASE WHEN r_days <= r_med THEN 'R+' ELSE 'R-' END ||
+        CASE WHEN f_orders > f_med THEN 'F+' ELSE 'F-' END ||
+        CASE WHEN m_units > m_med THEN 'M+' ELSE 'M-' END) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_round('SUM(m_units) / (100.0 * COUNT(*))', 2)} AS avg_monetary
+FROM rfm, b
+GROUP BY 1
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE, tags=("A5", "W4", "rfm"))
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers split at the median of recency
+    (days since last order), frequency, and monetary value into eight
+    segments. One customer aggregate, one 1-row median frame broadcast
+    back — the price_decile_stats shape applied to three axes at once.
+    Monetary sums are exact integer cents cast to double (ints are
+    exact in doubles), so every median boundary compare is
+    engine-deterministic; recent/frequent/big-spender is <=/>/> of
+    exact numbers, never of noisy float sums."""
+    o = load(spark, sf_dir, "orders")
+    ref_date = o.agg(F.max(F.to_date("o_orderdate")).alias("d1"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("f_orders"),
+            F.sum(to_units(F.col("o_totalprice"), 2)).cast("double").alias("m_units"),
+        )
+        .crossJoin(F.broadcast(ref_date))
+        .select(
+            "o_custkey",
+            F.datediff("d1", "last_order").alias("r_days"),
+            "f_orders",
+            "m_units",
+        )
+    )
+    bounds = rfm.agg(
+        F.percentile("r_days", F.lit(0.5)).alias("r_med"),
+        F.percentile("f_orders", F.lit(0.5)).alias("f_med"),
+        F.percentile("m_units", F.lit(0.5)).alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("r_days") <= F.col("r_med"), "R+").otherwise("R-"),
+        F.when(F.col("f_orders") > F.col("f_med"), "F+").otherwise("F-"),
+        F.when(F.col("m_units") > F.col("m_med"), "M+").otherwise("M-"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(bounds))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            round_to(F.sum("m_units") / (F.lit(100.0) * F.count("*")), 2).alias(
+                "avg_monetary"
+            ),
+        )
     )

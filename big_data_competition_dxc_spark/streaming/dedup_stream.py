@@ -58,3 +58,51 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = drain_to_memory(spark, deduped, stage, "append")
     return spark.createDataFrame(rows, schema)
+
+
+from ..operators.behavior import HOP_S, WIN_S
+
+_HOPPING_STREAM_ORACLE = f"""
+SELECT make_timestamp(ws * 1000000) AS window_start,
+       make_timestamp((ws + {WIN_S}) * 1000000) AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT unnest([CAST(floor(epoch(ts) / {HOP_S}) AS BIGINT) * {HOP_S},
+                 CAST(floor(epoch(ts) / {HOP_S}) AS BIGINT) * {HOP_S} - {HOP_S}]) AS ws
+  FROM events
+)
+GROUP BY ws
+"""
+
+
+@query(
+    "hopping_window_stream",
+    oracle=_HOPPING_STREAM_ORACLE,
+    tags=("streaming", "window"),
+)
+def hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch hopping-window rollup (operators/behavior.py) run as a
+    Structured Streaming plan — SAME ``F.window('6h','3h')`` definition,
+    same oracle — proving the batch and streaming deployments of a
+    sliding dashboard agree row-for-row on bounded input. Exact
+    COUNT(DISTINCT) is a batch-only luxury (streaming rejects it — the
+    per-window user sets would be unbounded state), so the stream keeps
+    the count measures; approx_count_distinct is the streaming path for
+    cardinality."""
+    from .rollup_stream import staged_events_stream
+
+    stream, stage = staged_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", f"{WIN_S} seconds", f"{HOP_S} seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    rows = drain_to_memory(spark, agg, stage, "complete")
+    return spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, n_events bigint",
+    )

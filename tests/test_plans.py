@@ -96,6 +96,7 @@ _BNLJ_OK = {
     "bm25_topk_docs",           # 1-row corpus-stats scalar attach
     "price_decile_stats",       # 1-row quantile-boundary scalar attach
     "referential_integrity_audit",  # 1-row orphan-count scalar attach per edge
+    "rfm_segments",             # 1-row max-date + median-boundary attaches
 }
 
 
