@@ -39,6 +39,13 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.functions.stringqueries",
         "big_data_competition_dxc_spark.functions.semistructured",
         "big_data_competition_dxc_spark.operators.asof",
+        # --- round-4 training-data pipeline additions (never yet in a
+        # driver window; placed before the twice-verified relational core) ---
+        "big_data_competition_dxc_spark.textops.repetition",
+        "big_data_competition_dxc_spark.textops.contamination",
+        "big_data_competition_dxc_spark.textops.packing",
+        "big_data_competition_dxc_spark.textops.scrub",
+        "big_data_competition_dxc_spark.similarity.quantize",
         # --- relational core (driver-verified green in rounds 1-2) ---
         "big_data_competition_dxc_spark.operators.joins",
         "big_data_competition_dxc_spark.operators.lags",
