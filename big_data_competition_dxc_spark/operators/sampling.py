@@ -154,3 +154,80 @@ def class_rebalance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("target"))
         .select("doc_id", "lang", "rk")
     )
+
+
+# Quality-weighted sampling: keep-probability proportional to a quality
+# proxy, realized with the SAME deterministic md5-uniform as
+# hash_sample_events so the selection is auditable and engine-exact.
+# The threshold compare stays in INTEGERS (md5 % 10000 vs n_chars * 5
+# clamped to [1000, 10000]) — no float product ever reaches the
+# boundary, so the oracle hash cannot flake. This is the corpus
+# curation step between uniform sampling and hard filtering: short
+# (low-quality-proxy) docs are kept at 10%, documents >= 2000 chars
+# always survive, the middle scales linearly.
+_WEIGHTED_ORACLE = """
+WITH scored AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS u,
+         LEAST(10000, GREATEST(1000, n_chars * 5)) AS keep_bps
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE u < keep_bps) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(n_chars) FILTER (WHERE u < keep_bps) AS BIGINT) AS kept_chars
+FROM scored
+GROUP BY lang
+"""
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=_WEIGHTED_ORACLE,
+    tags=("U4", "sampling", "textops"),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: documents surviving a quality-weighted
+    deterministic sample (keep-probability = clamp(n_chars/2000,
+    0.1, 1.0), realized as integer basis points against md5(doc_id))
+    next to the unsampled totals."""
+    from ..functions.hashing import md5_bigint
+
+    docs = load(spark, sf_dir, "documents")
+    u = md5_bigint(F.col("doc_id").cast("string")) % 10000
+    keep_bps = F.least(
+        F.lit(10000), F.greatest(F.lit(1000), F.col("n_chars") * 5)
+    )
+    kept = F.when(u < keep_bps, 1).otherwise(0)
+    return docs.groupBy("lang").agg(
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.count("*").alias("n_total"),
+        F.sum(F.when(u < keep_bps, F.col("n_chars"))).cast("bigint").alias(
+            "kept_chars"
+        ),
+    )
+
+
+@query("approx_quantile_check", tags=("A9", "sketch"))
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch, accuracy=10000 ->
+    rank error <= 0.01%) vs the exact interpolated percentile — the
+    one-pass bounded-memory quantile every 100 TB percentile query
+    should swap to (documented in percentile_prices). Rows-only (sketch
+    internals are engine-specific); tests bound the relative error."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.99).alias("exact_p99"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+    )
+    err = lambda a, e: round_to(F.abs(F.col(a) - F.col(e)) / F.col(e), 6)  # noqa: E731
+    return out.select(
+        round_to(F.col("exact_p50"), 4).alias("exact_p50"),
+        round_to(F.col("approx_p50"), 4).alias("approx_p50"),
+        err("approx_p50", "exact_p50").alias("rel_err_p50"),
+        round_to(F.col("exact_p99"), 4).alias("exact_p99"),
+        round_to(F.col("approx_p99"), 4).alias("approx_p99"),
+        err("approx_p99", "exact_p99").alias("rel_err_p99"),
+    )

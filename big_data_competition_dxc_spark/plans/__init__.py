@@ -46,6 +46,11 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.textops.packing",
         "big_data_competition_dxc_spark.textops.scrub",
         "big_data_competition_dxc_spark.similarity.quantize",
+        # --- round-5 additions (never yet in a driver window) ---
+        "big_data_competition_dxc_spark.operators.analytic_extras",
+        "big_data_competition_dxc_spark.textops.diversity",
+        "big_data_competition_dxc_spark.streaming.static_join",
+        "big_data_competition_dxc_spark.operators.bloom_join",
         # --- relational core (driver-verified green in rounds 1-2) ---
         "big_data_competition_dxc_spark.operators.joins",
         "big_data_competition_dxc_spark.operators.lags",

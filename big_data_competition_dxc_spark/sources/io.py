@@ -57,10 +57,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters/projections composed on top reach the scan (checked in
     tests/test_plans.py).
 
-    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as long and convert to a proper
-    timestamp (integer ns->us division — the fixture's values are
-    microsecond-precision, so this is lossless and matches DuckDB)."""
+    ``events.parquet`` has been written with TIMESTAMP(NANOS) (which
+    Spark's parquet reader rejects — read nanos as long, divide to us)
+    in some driver generations and plain TIMESTAMP(US, no tz) in
+    others. Both are normalized here to the session-tz TIMESTAMP type:
+    the session time zone is pinned to UTC (session.py), so casting
+    TIMESTAMP_NTZ -> TIMESTAMP is value-identical to DuckDB's
+    naive-as-UTC reading of the same file, and downstream epoch math
+    (unix_micros) type-checks regardless of which variant the fixture
+    carries."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # Scope the legacy conf to the schema resolution: spark.read
@@ -84,8 +89,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.set(key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(path))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to the session-tz TIMESTAMP type.
+
+    With the session zone pinned to UTC this is a pure type-level
+    normalization (no value shift), and it keeps every epoch function
+    (unix_micros and friends require TIMESTAMP, not NTZ) working no
+    matter which physical timestamp flavor the fixture writer used."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -62,22 +62,33 @@ def staged_events_stream(spark: SparkSession, sf_dir: str):
     convert to timestamp in-plan (lossless at fixture precision).
     Remove stage_dir once the stream has terminated."""
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
-    )
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(src, f"{stage}/events.parquet")
+    # The fixture's physical ts type has varied across driver
+    # generations: TIMESTAMP(NANOS) (Spark reads it only as bigint,
+    # under the legacy nanosAsLong conf) vs plain TIMESTAMP(US, no tz)
+    # (reads as TIMESTAMP_NTZ). readStream needs the matching declared
+    # schema up front — branch on the parquet footer, then normalize to
+    # the session-tz TIMESTAMP type in-plan (UTC session zone makes the
+    # NTZ cast value-identical; the ns->us division is lossless at the
+    # fixture's microsecond precision).
+    import pyarrow.parquet as _pq
+
+    ts_is_nanos = str(_pq.read_schema(src).field("ts").type) == "timestamp[ns]"
     # nanosAsLong is NOT set here: readStream is declared with an
     # explicit schema (no eager footer inference), and the file decode
     # happens during micro-batch execution — drain_to_memory scopes the
     # conf around the stream's actual run instead.
+    raw_ts = "bigint" if ts_is_nanos else "timestamp_ntz"
     raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        f"event_id bigint, ts {raw_ts}, user_id bigint, "
         "event_type string, value double, props string"
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if ts_is_nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream, stage
 
 

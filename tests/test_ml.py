@@ -122,3 +122,12 @@ def test_approx_distinct_within_rsd(spark):
     # rsd=0.02 -> generous 3-sigma-ish bound
     assert r["rel_err_users"] < 0.06
     assert r["rel_err_events"] < 0.06
+
+
+def test_approx_quantile_within_accuracy(spark):
+    [r] = _run("approx_quantile_check", spark).collect()
+    # accuracy=10000 -> rank error <= 1e-4; on a smooth price
+    # distribution that is far inside 1% relative value error
+    assert r["rel_err_p50"] < 0.01
+    assert r["rel_err_p99"] < 0.01
+    assert r["exact_p50"] <= r["exact_p99"]

@@ -97,6 +97,7 @@ _BNLJ_OK = {
     "price_decile_stats",       # 1-row quantile-boundary scalar attach
     "referential_integrity_audit",  # 1-row orphan-count scalar attach per edge
     "rfm_segments",             # 1-row max-date + median-boundary attaches
+    "bigram_collocations",      # 1-row corpus-total scalar attaches (n_uni, n_bg)
 }
 
 
@@ -233,3 +234,43 @@ def test_shuffle_budget(name, budget, spark):
     plan = _formatted(df)
     n = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
     assert n <= budget, f"{name}: {n} shuffle exchanges, budget {budget}"
+
+
+def test_bloom_filter_injected(spark):
+    """bloom_pruned_join's scope must actually materialize the runtime
+    Bloom filter: the probe (lineitem) side carries a might_contain
+    predicate fed by a bloom_filter_agg over the filtered build side —
+    the pre-shuffle pruning a 100 TB big-big join depends on."""
+    from big_data_competition_dxc_spark.operators.bloom_join import (
+        bloom_join_scope,
+        build_bloom_join,
+    )
+
+    with bloom_join_scope(spark):
+        df = build_bloom_join(spark, SF_TEST_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    assert "BroadcastHashJoin" not in plan  # scope forces the shuffle join
+
+
+def test_mode_median_modal_side_broadcasts(spark):
+    """The two-row modal frame joins back to the stats as a broadcast,
+    never a shuffle."""
+    df = plans.QUERIES["mode_median_stats"].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_diversity_stays_jvm_side(spark):
+    """token_diversity_stats is pure JVM expressions (explode + two hash
+    aggs) — no Python row boundary — and prunes the documents scan to
+    the two columns it reads."""
+    df = plans.QUERIES["token_diversity_stats"].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
