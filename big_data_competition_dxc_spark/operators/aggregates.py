@@ -487,3 +487,82 @@ def rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
     )
+
+
+# Higher central moments from EXACT integer power sums. Naive
+# skewness()/kurtosis() aggregates accumulate doubles in partition
+# order (flake class, see functions/rounding.py) AND differ in
+# convention between engines (DuckDB applies sample-bias correction;
+# Spark is population). Instead: raw power sums S1..S4 of integer
+# cents are summed exactly (Spark DECIMAL(38,0), DuckDB HUGEINT —
+# both exact 128-bit integer arithmetic), and the population moments
+# are derived from the exact sums with the SAME double expression on
+# both sides, so every division/multiplication sees identical
+# operands in identical order. Headroom: cents <= ~1e5, so S4 per
+# 100 TB group ~ 1e20 * 6e11 ≈ 1e32 < 10^38.
+_MOMENTS_ORACLE = f"""
+WITH cents AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS HUGEINT) AS c
+  FROM events
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c * c) AS DOUBLE) AS s2,
+         CAST(SUM(c * c * c) AS DOUBLE) AS s3,
+         CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
+  FROM cents GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       {sql_round("(s1 / n) / 100.0", 4)} AS mean_value,
+       {sql_round("sqrt(s2 / n - (s1 / n) * (s1 / n)) / 100.0", 4)} AS stddev_pop,
+       {sql_round(
+           "(s3 / n - 3.0 * (s1 / n) * (s2 / n)"
+           " + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))"
+           " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)", 4)} AS skewness_pop,
+       {sql_round(
+           "(s4 / n - 4.0 * (s1 / n) * (s3 / n)"
+           " + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)"
+           " - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+           " / pow(s2 / n - (s1 / n) * (s1 / n), 2.0)", 4)} AS kurtosis_pop
+FROM sums
+"""
+
+
+@query("moment_stats", oracle=_MOMENTS_ORACLE, tags=("A9", "analytic"))
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/stddev/skewness/kurtosis per event type, derived
+    from exact integer power sums (order-independent by construction;
+    the double finishing arithmetic mirrors the oracle token-for-token
+    so both engines execute the identical IEEE expression)."""
+    ev = load(spark, sf_dir, "events")
+    c = to_units(F.col("value"), 2)
+    sums = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("n_raw"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).cast("double").alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n_raw").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3.0) * mu * (F.col("s2") / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * (F.col("s3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return sums.select(
+        "event_type",
+        F.col("n_raw").cast("bigint").alias("n"),
+        round_to(mu / F.lit(100.0), 4).alias("mean_value"),
+        round_to(F.sqrt(m2) / F.lit(100.0), 4).alias("stddev_pop"),
+        round_to(m3 / F.pow(m2, F.lit(1.5)), 4).alias("skewness_pop"),
+        round_to(m4 / F.pow(m2, F.lit(2.0)), 4).alias("kurtosis_pop"),
+    )

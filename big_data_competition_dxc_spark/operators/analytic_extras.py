@@ -82,3 +82,98 @@ def mode_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(F.broadcast(modal), "o_orderstatus").select(
         "o_orderstatus", "modal_priority", "n_orders", "median_price"
     )
+
+
+_ROLLMED_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS ds, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, ds,
+       CAST(n_events AS BIGINT) AS n_events,
+       {sql_round(
+           "quantile_cont(n_events, 0.5) OVER ("
+           "PARTITION BY user_id ORDER BY ds "
+           "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 4)} AS med7
+FROM daily
+"""
+
+
+@query("rolling_median_7d", oracle=_ROLLMED_ORACLE, tags=("W1", "A9", "analytic"))
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row exact median of each user's daily event count —
+    the robust trend line a mean-based rolling window (rolling_7d_window)
+    distorts under spikes. Spark refuses percentile aggregates over an
+    ordered frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    frame's values are collected (<= 7 elements — bounded, cheap),
+    sorted, and interpolated explicitly with PERCENTILE_CONT's
+    midpoint rule; sort-based and deterministic, so hash-comparable.
+    100 TB: one shuffle on user_id; per-partition frames are tiny."""
+    from ..operators.lags import _daily
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ds")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("n_events").over(w))
+    n = F.size(arr)
+    mid_lo = F.element_at(arr, F.floor((n + F.lit(1)) / F.lit(2.0)).cast("int"))
+    mid_hi = F.element_at(arr, F.ceil((n + F.lit(1)) / F.lit(2.0)).cast("int"))
+    med = (mid_lo + mid_hi) / F.lit(2.0)
+    return (
+        _daily(spark, sf_dir)
+        .select(
+            "user_id",
+            "ds",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            round_to(med, 4).alias("med7"),
+        )
+    )
+
+
+N_FOLDS = 5
+
+_KFOLD_ORACLE = f"""
+WITH folded AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % {N_FOLDS} AS fold
+  FROM events
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(COUNT(*)) OVER () - COUNT(*) AS BIGINT) AS n_train,
+       {sql_round(
+           "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)",
+           4)} AS test_frac
+FROM folded
+GROUP BY fold
+"""
+
+
+@query("kfold_split_audit", oracle=_KFOLD_ORACLE, tags=("U4", "sampling", "ml"))
+def kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {N_FOLDS}-fold cross-validation assignment
+    (fold = md5(event_id) mod k — engine-portable, seed-free, and
+    reproducible on any cluster size, unlike randomSplit) audited per
+    fold: test size, complementary train size, and realized test
+    fraction. Folds partition the input by construction (every row
+    lands in exactly one residue class), so train/test disjointness
+    needs no pairwise check."""
+    from ..functions.hashing import md5_bigint
+
+    ev = load(spark, sf_dir, "events")
+    folded = ev.select(
+        (md5_bigint(F.col("event_id").cast("string")) % N_FOLDS).alias("fold")
+    )
+    counts = folded.groupBy("fold").agg(F.count("*").alias("n_test"))
+    w_all = Window.partitionBy()
+    total = F.sum("n_test").over(w_all)
+    return counts.select(
+        "fold",
+        "n_test",
+        (total - F.col("n_test")).cast("bigint").alias("n_train"),
+        round_to(F.col("n_test").cast("double") / total.cast("double"), 4).alias(
+            "test_frac"
+        ),
+    )

@@ -189,3 +189,82 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+_CHECKSUM_ORACLE = """
+WITH o AS (
+  SELECT COUNT(*) AS n_rows,
+         bit_xor(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             o_orderpriority || '|' ||
+             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+         ), 1, 15))::BIGINT) AS checksum
+  FROM orders
+), l AS (
+  SELECT COUNT(*) AS n_rows,
+         bit_xor(('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             l_returnflag || '|' ||
+             CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+         ), 1, 15))::BIGINT) AS checksum
+  FROM lineitem
+)
+SELECT 'orders' AS tbl, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(checksum AS BIGINT) AS checksum FROM o
+UNION ALL
+SELECT 'lineitem' AS tbl, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(checksum AS BIGINT) AS checksum FROM l
+"""
+
+
+def _row_checksum(cols) -> "F.Column":
+    from ..functions.hashing import md5_bigint
+
+    return F.bit_xor(md5_bigint(F.concat_ws("|", *cols)))
+
+
+@query("table_checksum_audit", oracle=_CHECKSUM_ORACLE, tags=("audit", "A9"))
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints: per table, the row count
+    and the bit_xor of a portable md5 over a canonical row rendering —
+    the anti-entropy check that detects drift between two copies of a
+    dataset (replication, backfill, engine migration) without moving
+    either. XOR is commutative/associative, so the checksum is
+    identical on any partitioning, any engine, any row order; doubles
+    enter as exact integer cents and timestamps as ISO dates, the
+    cross-engine-stable renderings. 100 TB: one narrow scan per table,
+    partial XOR map-side, a single 64-bit value shuffled."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100.0 + F.lit(0.5)).cast("bigint").cast("string")  # noqa: E731
+    o = orders.agg(
+        F.count("*").alias("n_rows"),
+        _row_checksum(
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                cents("o_totalprice"),
+                F.col("o_orderdate").cast("date").cast("string"),
+            ]
+        ).alias("checksum"),
+    ).select(F.lit("orders").alias("tbl"), "n_rows", "checksum")
+    l = li.agg(
+        F.count("*").alias("n_rows"),
+        _row_checksum(
+            [
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_returnflag"),
+                cents("l_extendedprice"),
+                F.col("l_shipdate").cast("date").cast("string"),
+            ]
+        ).alias("checksum"),
+    ).select(F.lit("lineitem").alias("tbl"), "n_rows", "checksum")
+    return o.unionAll(l)

@@ -390,3 +390,47 @@ def linear_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bracketed.filter(F.col("is_grid") == 1).select(
         "user_id", "ts", round_to(interp, 6).alias("value_interp")
     )
+
+
+_LOCF_ORACLE = """
+WITH readings AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type <> 'error' THEN value END AS reading
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(reading IS NULL AS INT) AS is_gap,
+       last_value(reading IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled
+FROM readings
+"""
+
+
+@query("locf_gap_fill", oracle=_LOCF_ORACLE, tags=("W1", "timeseries"))
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: error events carry no reading
+    (their value is semantically a gap), so each row takes the user's
+    most recent non-gap value — the standard sensor forward-fill,
+    complementing linear_interpolate_hourly's midpoint estimate. The
+    fill is a copy of an input double (no arithmetic), so it is
+    hash-exact without rounding; leading gaps before any reading stay
+    NULL in both engines. One shuffle on user_id; running state is a
+    single value per partition."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", reading.alias("reading"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("reading").isNull().cast("int").alias("is_gap"),
+            F.last("reading", ignorenulls=True).over(w).alias("value_filled"),
+        )
+    )

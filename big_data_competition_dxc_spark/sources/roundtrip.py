@@ -292,3 +292,40 @@ def json_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, o_orderpriority string, n_orders bigint, "
         "total_price double",
     )
+
+
+@query(
+    "orc_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("S2", "S3", "format"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 widened to the ORC columnar format (built into Spark, no
+    extra packages): orders written as ORC, re-read, rolled up — the
+    interchange path for warehouses standardized on ORC (Hive-era
+    lakes) rather than parquet. The oracle aggregates the pristine
+    table, so any write/read fidelity loss (types, nulls, encodings)
+    breaks the hash. ORC carries the same columnar pruning/pushdown
+    properties as parquet at 100 TB; the repo's parquet-first layout
+    is a compression/tooling preference, not a correctness one."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    agg = back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+    )
+    rows = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_orders bigint, total_price double"
+    )
