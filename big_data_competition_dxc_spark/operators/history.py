@@ -182,3 +182,45 @@ def silence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").alias("total_silence_us"),
         )
     )
+
+
+_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_type,
+       value AS last_value,
+       ts AS last_ts
+FROM ranked
+WHERE rn = 1
+"""
+
+
+@query("merge_upsert_latest", oracle=_UPSERT_ORACLE, tags=("W4", "cdc", "history"))
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 merge: the latest-wins snapshot a MERGE INTO /
+    upsert sink converges to when a change stream is applied in order —
+    computed in one pass as argmax per key (row_number over ts DESC
+    with event_id as the deterministic tiebreak) instead of row-by-row
+    merge application. This is the batch equivalence every CDC
+    pipeline's compaction relies on: applying N updates per key ==
+    keeping the newest. One shuffle on user_id; per-partition top-1 is
+    heap-based, never a global sort (SCD-type-2, which keeps the full
+    validity history instead of the last value, is scd2_type_periods)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )

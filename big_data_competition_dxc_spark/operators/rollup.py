@@ -170,3 +170,47 @@ def pivot_api_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "ds", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES]
     )
+
+
+_PIVOT_MULTI_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS ds,
+       {", ".join(
+           f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+           f" AS {t}_n, "
+           + sql_fixed_sum(
+               f"CASE WHEN event_type = '{t}' THEN value END", 2, 2
+           )
+           + f" AS {t}_val"
+           for t in ("click", "purchase", "view")
+       )}
+FROM events
+GROUP BY 1
+"""
+
+
+@query("pivot_multi_measure", oracle=_PIVOT_MULTI_ORACLE, tags=("A6", "A2"))
+def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregate measures per category — each day x
+    event type yields both a count and an exact-cents value sum
+    (``pivot(...).agg(count, sum)`` emits <category>_<alias> column
+    pairs). The category list is FIXED (no schema-inference pass), so
+    the plan is a single aggregation; counts for absent combinations
+    are coalesced to 0 to match SQL's FILTER semantics (sums stay NULL
+    over empty sets in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    cats = ("click", "purchase", "view")
+    piv = (
+        ev.groupBy(F.to_date("ts").alias("ds"))
+        .pivot("event_type", list(cats))
+        .agg(
+            # count(*) is rejected inside Pivot; count(lit(1)) is the
+            # same row count
+            F.count(F.lit(1)).alias("n"),
+            fixed_sum(F.col("value"), 2, 2).alias("val"),
+        )
+    )
+    cols = [F.col("ds")]
+    for t in cats:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_val"))
+    return piv.select(*cols)

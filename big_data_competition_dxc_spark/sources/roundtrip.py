@@ -329,3 +329,114 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_orders bigint, total_price double"
     )
+
+
+@query(
+    "schema_evolution_merge",
+    oracle=f"""
+WITH unified AS (
+  SELECT o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1
+              THEN CAST(year(o_orderdate) AS BIGINT) END AS o_year
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(o_year) AS BIGINT) AS n_with_year,
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
+FROM unified
+GROUP BY 1
+""",
+    tags=("S2", "S3", "format", "evolution"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch (even
+    order keys) lacks the ``o_year`` column a later batch (odd keys)
+    added; ``mergeSchema=true`` unions the footers so old rows surface
+    NULL for the new column — the append-only ingest reality of any
+    long-lived dataset. The rollup counts rows carrying the evolved
+    column per status, proving no row or value is lost across the
+    merge. At 100 TB, schema merge is a FOOTER operation (one small
+    read per file's metadata), not a data rewrite; pinning
+    mergeSchema per-read (not globally) keeps unevolved scans cheap."""
+    orders = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="evolve_")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    old.write.mode("overwrite").parquet(f"{out}/batch=1")
+    new.write.mode("overwrite").parquet(f"{out}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    agg = back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count("o_year").alias("n_with_year"),
+        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+    )
+    rows = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders bigint, n_with_year bigint, "
+        "total_price double",
+    )
+
+
+@query(
+    "small_file_compaction",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS ds, user_id, value FROM events
+)
+SELECT CAST(COUNT(DISTINCT ds) AS BIGINT) AS n_files_after,
+       CAST(COUNT(DISTINCT ds) AS BIGINT) AS n_partitions,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_fixed_sum('value', 2, 2)} AS total_value
+FROM daily
+""",
+    tags=("S2", "S3", "compaction", "scale"),
+)
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files maintenance operation every long-lived 100 TB
+    table needs: an ingest layout scattered into many files per date
+    partition (here: hash-partitioned by user_id across writers, the
+    streaming-ingest shape) is compacted by `repartition(N, ds)` +
+    `partitionBy(ds)` so each date directory collapses to exactly ONE
+    file (every ds lands in exactly one shuffle bucket, and only the
+    task owning that bucket writes that directory). The query returns
+    the POST-compaction file count measured from the filesystem — the
+    oracle can state it exactly: one file per distinct day — plus row
+    and exact-cents value fidelity across the rewrite. NameNode/
+    listing pressure is the 100 TB motivation: file count per query
+    drops from O(writers x days) to O(days)."""
+    import glob
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("ds"), "user_id", "value"
+    )
+    n_days = ev.select("ds").distinct().count()
+    out = tempfile.mkdtemp(prefix="compact_")
+    # messy ingest: one file per (writer-bucket, ds) pair
+    ev.repartition(8, "user_id").write.partitionBy("ds").parquet(f"{out}/ingest")
+    # compaction: read the messy layout back, rewrite one file per ds
+    back = spark.read.parquet(f"{out}/ingest")
+    back.repartition(n_days, "ds").write.partitionBy("ds").parquet(f"{out}/compact")
+    files = glob.glob(f"{out}/compact/ds=*/part-*.parquet")
+    dirs = glob.glob(f"{out}/compact/ds=*")
+    compacted = spark.read.parquet(f"{out}/compact")
+    agg = compacted.agg(
+        F.count("*").alias("n_rows"),
+        fixed_sum(F.col("value"), 2, 2).alias("total_value"),
+    )
+    [r] = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(len(files), len(dirs), r["n_rows"], r["total_value"])],
+        "n_files_after bigint, n_partitions bigint, n_rows bigint, "
+        "total_value double",
+    )

@@ -225,6 +225,16 @@ _SHUFFLE_BUDGETS = {
     "event_paths_opening": 2,          # user window + path group
     "markov_transitions": 3,           # user lag + 25-row matrix post-processing
     "cumulative_reach": 3,             # user agg + day agg + day-frame window
+    "locf_gap_fill": 1,                # one user_id window, no agg
+    "moment_stats": 1,                 # single groupBy(event_type)
+    "quality_weighted_sample": 1,      # single groupBy(lang)
+    "array_functions_suite": 1,        # single groupBy(user_id); set algebra narrow
+    "rolling_median_7d": 2,            # daily agg + user window
+    "token_diversity_stats": 2,        # (doc, tok) agg + doc agg
+    "kfold_split_audit": 2,            # fold agg + single-partition total window
+    "pivot_multi_measure": 2,          # pivot partial/final pair on ds
+    "table_checksum_audit": 2,         # one single-row agg per fingerprinted table
+    "mode_median_stats": 3,            # value counts + modal window + stats agg
 }
 
 

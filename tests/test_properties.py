@@ -181,3 +181,39 @@ def test_connected_components_chain_and_clique(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {**{i: 10 for i in range(10, 20)}, 30: 30, 31: 30, 32: 30, 99: 99}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**9),
+            st.text(alphabet="abcdef|", min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_table_checksum_order_independent(spark, rows, parts_a, parts_b):
+    """The bit_xor md5 table fingerprint (table_checksum_audit) must be
+    identical under any partitioning and row order — including rows
+    whose string fields contain the '|' separator itself (the checksum
+    only promises equality for equal multisets of rendered rows, which
+    reordering preserves)."""
+    from pyspark.sql import functions as F
+
+    from big_data_competition_dxc_spark.operators.audit import _row_checksum
+
+    def checksum(df):
+        [r] = df.agg(
+            _row_checksum([F.col("k").cast("string"), F.col("s")]).alias("c")
+        ).collect()
+        return r["c"]
+
+    base = spark.createDataFrame(rows, "k long, s string")
+    a = checksum(base.repartition(parts_a))
+    b = checksum(base.repartition(parts_b, "s"))
+    c = checksum(base.orderBy(F.desc("k")))
+    assert a == b == c
