@@ -21,6 +21,14 @@ RUN PROTOCOL (read before comparing numbers across runs/rounds):
 - Treat >1.2x total drift round-over-round as a blocker to explain
   (re-run after cool-down before believing it), not a number to
   publish.
+- The host can also be throttled EXTERNALLY (hypervisor noisy
+  neighbor): observed a 2.8x uniform inflation with zero local load,
+  confirmed by a pure-Python compute loop slowing 2.3x at the same
+  moment. The JSON therefore carries `steal_jiffies` (delta of
+  /proc/stat's steal column across the run) and `cpu_probe_sec` (a
+  fixed 20M-iteration loop timed before the queries): compare those
+  before comparing wall times — a run with probe >2s or steal in the
+  thousands is measuring the neighbor, not the code.
 - Reference totals on this container at sf0.1, local[8]: ~28-30s."""
 
 from __future__ import annotations
@@ -29,6 +37,22 @@ import json
 import os
 import sys
 import time
+
+
+def _steal_jiffies() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return -1
+
+
+def _cpu_probe() -> float:
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 2)
 
 
 def main() -> None:
@@ -52,6 +76,8 @@ def main() -> None:
 
     headline = {n: e for n, e in plans.QUERIES.items() if e.bench}
     timings: dict[str, float] = {}
+    probe = _cpu_probe()
+    steal0 = _steal_jiffies()
     t_all = time.perf_counter()
     for name, entry in sorted(headline.items()):
         t0 = time.perf_counter()
@@ -74,6 +100,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # contention diagnostics (see RUN PROTOCOL in docstring):
+                # hypervisor steal during the run + a fixed pure-Python
+                # compute probe timed just before it
+                "steal_jiffies": _steal_jiffies() - steal0,
+                "cpu_probe_sec": probe,
             }
         )
     )

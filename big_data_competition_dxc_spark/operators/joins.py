@@ -200,3 +200,38 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= MIN_SUPPORT)
     )
+
+
+_HINT_ORACLE = f"""
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_fixed_sum('l.l_quantity', 2, 2)} AS total_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@query("join_hint_shuffle_hash", oracle=_HINT_ORACLE, tags=("J2", "optimizer"))
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy hint surface: the same fact⋈fact join forced
+    through SHUFFLE_HASH instead of the default sort-merge — the manual
+    override for the case the optimizer's stats miss (a build side
+    known to fit executor memory per partition skips BOTH sort passes).
+    Result is strategy-independent (the oracle is the plain join);
+    tests/test_plans.py pins ShuffledHashJoin in the physical plan, so
+    the hint's effect cannot silently lapse. At 100 TB the hint
+    matters when one side is pre-aggregated far below the raw scan
+    size the planner estimated."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey").hint("SHUFFLE_HASH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            fixed_sum(F.col("l_quantity"), 2, 2).alias("total_qty"),
+        )
+    )

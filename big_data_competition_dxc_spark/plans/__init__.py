@@ -52,6 +52,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.streaming.static_join",
         "big_data_competition_dxc_spark.operators.bloom_join",
         "big_data_competition_dxc_spark.functions.arrayqueries",
+        "big_data_competition_dxc_spark.similarity.pandas_path",
         # --- relational core (driver-verified green in rounds 1-2) ---
         "big_data_competition_dxc_spark.operators.joins",
         "big_data_competition_dxc_spark.operators.lags",

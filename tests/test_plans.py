@@ -284,3 +284,12 @@ def test_diversity_stays_jvm_side(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """join_hint_shuffle_hash must actually plan a ShuffledHashJoin —
+    the hint is the point of the query."""
+    df = plans.QUERIES["join_hint_shuffle_hash"].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
