@@ -255,3 +255,38 @@ def struct_nested_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.meta.order_year").alias("order_year"),
         round_to(F.col("info.meta.price"), 2).alias("price"),
     )
+
+
+@query(
+    "variant_props_extract",
+    oracle="""
+SELECT CAST(CAST(props ->> '$.k' AS BIGINT) % 7 AS BIGINT) AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+""",
+    tags=("semistructured", "variant"),
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible JSON via the VARIANT type (parse_json ->
+    variant_get) — the open-schema alternative to json_props_extract's
+    fixed from_json struct: VARIANT parses once into a binary-encoded
+    tree and serves typed path extraction without declaring the schema
+    up front, which is what an evolving event-properties column needs.
+    At 100 TB the parse cost is paid once per row either way; VARIANT
+    additionally survives fields the struct schema never declared
+    (shredding into parquet keeps pushdown on hot paths)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

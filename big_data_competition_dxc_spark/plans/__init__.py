@@ -53,6 +53,12 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.bloom_join",
         "big_data_competition_dxc_spark.functions.arrayqueries",
         "big_data_competition_dxc_spark.similarity.pandas_path",
+        # transformWithStateInPandas (the newer typed-state API) was
+        # attempted and works in code review but NOT in this container:
+        # its driver worker needs google.protobuf, which is absent here
+        # (ImportError: cannot import name 'descriptor'). The older
+        # applyInPandasWithState operator (streaming/stateful.py)
+        # covers custom stateful streaming instead.
         # --- relational core (driver-verified green in rounds 1-2) ---
         "big_data_competition_dxc_spark.operators.joins",
         "big_data_competition_dxc_spark.operators.lags",
