@@ -68,3 +68,39 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("types", 1, 2).alias("first_two"),
         F.size("types").alias("n_types"),
     )
+
+
+_POSEXPLODE_ORACLE = """
+WITH base AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(unnest(range(0, len(types))) AS INT) AS pos,
+       unnest(types) AS event_type
+FROM base
+"""
+
+
+@query(
+    "posexplode_user_types",
+    oracle=_POSEXPLODE_ORACLE,
+    tags=("F12", "array", "functions"),
+)
+def posexplode_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — the ordinal-preserving inverse of array
+    aggregation: each user's sorted type vocabulary back to
+    (user_id, position, element) rows. Positions come from the array
+    structure itself (0-based), not a window, so re-exploding a stored
+    array column never needs a sort. Narrow after the one groupBy."""
+    base = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types")
+        )
+    )
+    return base.select(
+        "user_id", F.posexplode("types").alias("pos", "event_type")
+    )

@@ -293,3 +293,39 @@ def test_shuffle_hash_hint_respected(spark):
     plan = _formatted(df)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_load_handles_both_timestamp_flavors(spark, tmp_path):
+    """The fixture generator has shipped events.ts as TIMESTAMP(NANOS)
+    in some rounds and TIMESTAMP(US, no tz) in others; load() must
+    normalize BOTH to the session-tz timestamp type with identical
+    values, and the streaming stage must branch the same way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_us = [1704067200_000_000, 1704070800_500_000]  # 2024-01-01T00/01h UTC
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k":1}', '{"k":2}']),
+    }
+    expected = None
+    for flavor, typ in (("us", pa.timestamp("us")), ("ns", pa.timestamp("ns"))):
+        d = str(tmp_path / flavor)
+        import os
+
+        os.makedirs(d)
+        mult = 1 if flavor == "us" else 1000
+        tbl = pa.table({**base, "ts": pa.array([t * mult for t in ts_us], typ)})
+        pq.write_table(tbl, f"{d}/events.parquet")
+        df = load(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", flavor
+        got = sorted(
+            (r["event_id"], r["ts"].isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+        if expected is None:
+            expected = got
+        else:
+            assert got == expected, f"{flavor} values diverge: {got} vs {expected}"
