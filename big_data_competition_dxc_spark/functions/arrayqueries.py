@@ -104,3 +104,55 @@ def posexplode_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "user_id", F.posexplode("types").alias("pos", "event_type")
     )
+
+
+from ..functions.rounding import sql_fixed_sum
+
+_NULL_SEMANTICS_ORACLE = f"""
+WITH readings AS (
+  SELECT event_type,
+         CASE WHEN event_type <> 'error' THEN value END AS reading
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(reading) AS BIGINT) AS n_gaps,
+       CAST(COUNT(*) FILTER (WHERE reading IS NOT DISTINCT FROM NULL) AS BIGINT)
+         AS n_nullsafe_null,
+       {sql_fixed_sum("COALESCE(reading, 0.0)", 2, 2)} AS filled_sum
+FROM readings
+GROUP BY event_type
+"""
+
+
+@query(
+    "null_semantics_suite",
+    oracle=_NULL_SEMANTICS_ORACLE,
+    tags=("P10", "P13", "functions"),
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-algebra surface in one query: three-valued COUNT
+    behavior, null-safe equality (<=> / IS NOT DISTINCT FROM), and
+    COALESCE fill — the semantics data-quality filters depend on.
+    error events carry no reading; every measure is integer or exact
+    cents, so the hash compare is exact."""
+    ev = load(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    from ..functions.rounding import fixed_sum
+
+    return (
+        ev.select("event_type", reading.alias("reading"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("reading")).cast("bigint").alias("n_gaps"),
+            F.sum(
+                F.col("reading").eqNullSafe(F.lit(None).cast("double")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_nullsafe_null"),
+            fixed_sum(F.coalesce(F.col("reading"), F.lit(0.0)), 2, 2).alias(
+                "filled_sum"
+            ),
+        )
+    )

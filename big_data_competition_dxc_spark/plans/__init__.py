@@ -53,6 +53,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.bloom_join",
         "big_data_competition_dxc_spark.functions.arrayqueries",
         "big_data_competition_dxc_spark.similarity.pandas_path",
+        "big_data_competition_dxc_spark.textops.chunking",
         # transformWithStateInPandas (the newer typed-state API) was
         # attempted and works in code review but NOT in this container:
         # its driver worker needs google.protobuf, which is absent here
