@@ -69,3 +69,40 @@ def epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_timestamp("ts")).alias("min_epoch_s"),
         F.max(F.unix_timestamp("ts")).alias("max_epoch_s"),
     )
+
+
+@query(
+    "calendar_parts_library",
+    oracle="""
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS ds FROM orders)
+SELECT ds,
+       CAST(quarter(ds) AS INT) AS qtr,
+       CAST(weekofyear(ds) AS INT) AS iso_week,
+       CAST(dayofyear(ds) AS INT) AS doy,
+       CAST(last_day(ds) AS DATE) AS month_end,
+       CAST(date_trunc('quarter', ds) AS DATE) AS qtr_start,
+       CAST(date_trunc('week', ds) AS DATE) AS week_start
+FROM d
+""",
+    tags=("F5", "F9", "calendar"),
+)
+def calendar_parts_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar-part surface beyond day arithmetic: quarter, ISO
+    week number (both engines follow ISO-8601 here, unlike dayofweek's
+    Sunday-origin mismatch), day-of-year, month end, and quarter/week
+    truncation — the fiscal-rollup building blocks. All pure builtins
+    over the distinct date list; constant-foldable and pushdown-safe."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("ds"))
+        .distinct()
+    )
+    return d.select(
+        "ds",
+        F.quarter("ds").alias("qtr"),
+        F.weekofyear("ds").alias("iso_week"),
+        F.dayofyear("ds").alias("doy"),
+        F.last_day("ds").alias("month_end"),
+        F.to_date(F.date_trunc("quarter", "ds")).alias("qtr_start"),
+        F.to_date(F.date_trunc("week", "ds")).alias("week_start"),
+    )
