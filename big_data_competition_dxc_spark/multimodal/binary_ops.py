@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
 
@@ -92,7 +93,10 @@ _DECODE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_channels", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # double (not float32): keeps the stride-sum/255.0 arithmetic
+        # bit-identical to DuckDB's BIGINT/DOUBLE evaluation so the
+        # posexploded query below can be fully oracle-paired.
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -129,16 +133,57 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_decode_stub", tags=("multimodal", "stub"))
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode pipeline with the codec stubbed by a deterministic
-    byte-histogram 'feature' (rows-only check: no SQL oracle for the
-    Arrow-batched fake decoder). Partitioning note: binary payloads stay
-    distributed; only fixed-width features come back."""
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued decode pipeline (internal + tests): binary payloads
+    stay distributed; only fixed-width features come back."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return docs.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+
+
+# Stride-sum byte feature in DuckDB: python's sum(b[j::8]) % 256 / 255.0
+# is positions j+1, j+9, ... in 1-indexed SQL over the (ASCII) text.
+_SQL_DECODE_FEATURE = f"""(COALESCE(list_sum(list_transform(
+        range(j + 1, length(text) + 1, {FEATURE_DIM}),
+        i -> ord(substr(text, i, 1)))), 0) % 256) / 255.0"""
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) % 640 + 32 AS INT) AS width,
+       CAST(length(text) % 480 + 32 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(j AS INT) AS j,
+       {sql_round(_SQL_DECODE_FEATURE, 6)} AS feature_j
+FROM documents, unnest(range(0, {FEATURE_DIM})) AS t(j)
+""",
+    tags=("multimodal", "stub", "pandas-udf"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode pipeline with the codec stubbed by a deterministic
+    byte-histogram 'feature'. The query posexplodes the feature vector
+    into (doc_id, j, feature_j) scalar rows so the result is
+    canonicalizable AND fully oracle-paired: the stub's stride-sum byte
+    arithmetic is recomputed in DuckDB over the ASCII fixture text, and
+    both engines evaluate the identical double division/rounding."""
+    exploded = decode_features(spark, sf_dir).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.posexplode("feature").alias("j", "feature_raw"),
+    )
+    return exploded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        "j",
+        round_to(F.col("feature_raw"), 6).alias("feature_j"),
+    )
 
 
 FRAME_BYTES = 32
@@ -204,7 +249,7 @@ _RESIZE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -230,14 +275,54 @@ def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_resize_stub", tags=("multimodal", "stub"))
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chained multimodal stages: decode (stub) -> resize (pool to
-    {RESIZE_DIM}-dim at 224x224) as TWO mapInPandas hops — the schema
-    contract between stages is what a real decode->preprocess pipeline
-    ships across. Rows-only check (tests pin shape + determinism)."""
+def resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued chained pipeline (internal + tests): decode (stub)
+    -> resize as TWO mapInPandas hops — the schema contract between
+    stages is what a real decode->preprocess pipeline ships across."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     decoded = docs.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
     return decoded.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle=f"""
+WITH dec AS (
+    SELECT doc_id,
+           list_transform(range(0, {FEATURE_DIM}), k ->
+               (COALESCE(list_sum(list_transform(
+                   range(k + 1, length(text) + 1, {FEATURE_DIM}),
+                   i -> ord(substr(text, i, 1)))), 0) % 256) / 255.0) AS v
+    FROM documents
+)
+SELECT doc_id,
+       CAST(224 AS INT) AS width,
+       CAST(224 AS INT) AS height,
+       CAST(j AS INT) AS j,
+       {sql_round(f"(v[j + 1] + v[j + {1 + RESIZE_DIM}]) / {FEATURE_DIM // RESIZE_DIM}.0", 6)}
+         AS feature_j
+FROM dec, unnest(range(0, {RESIZE_DIM})) AS t(j)
+""",
+    tags=("multimodal", "stub", "pandas-udf"),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained decode (stub) -> resize (average-pool to {RESIZE_DIM}-dim
+    at 224x224), posexploded to (doc_id, j, feature_j) scalar rows so
+    the chained two-hop pipeline is canonicalizable and oracle-paired:
+    DuckDB rebuilds the 8-dim decoded vector per doc and pools the same
+    index pairs with identical IEEE double arithmetic."""
+    exploded = resize_features(spark, sf_dir).select(
+        "doc_id",
+        "width",
+        "height",
+        F.posexplode("feature").alias("j", "feature_raw"),
+    )
+    return exploded.select(
+        "doc_id",
+        "width",
+        "height",
+        "j",
+        round_to(F.col("feature_raw"), 6).alias("feature_j"),
+    )
