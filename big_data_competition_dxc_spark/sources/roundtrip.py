@@ -113,16 +113,20 @@ FROM daily WHERE ds >= DATE '2024-01-10' GROUP BY ds
 )
 def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+S3 (M:129→132 write.parquet / read.parquet checkpoint), done
-    the scale-correct way: `partitionBy(ds)` on write, so the re-read's
-    `ds >=` filter prunes whole partitions (checked in test_plans) —
-    vs the reference's repartition(1) single file."""
+    the scale-correct way: `repartition(ds)` THEN `partitionBy(ds)` on
+    write — without the repartition every shuffle task holding rows for
+    a date writes its own file, an O(tasks x days) small-files fanout
+    that is NameNode/listing pressure at 100 TB. With it, each date's
+    rows land in one task, so each ds directory holds exactly one file
+    (asserted in test_plans). The re-read's `ds >=` filter prunes whole
+    partitions — vs the reference's repartition(1) single file."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("ds"), "event_type").agg(
         F.count("*").alias("n_events"),
         fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     )
     out = tempfile.mkdtemp(prefix="pq_rt_")
-    daily.write.mode("overwrite").partitionBy("ds").parquet(out)
+    daily.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
     back = spark.read.parquet(out)
     agg = (
         back.filter(F.col("ds") >= F.lit("2024-01-10").cast("date"))

@@ -78,6 +78,31 @@ def test_partition_pruning_on_partitioned_parquet(spark, tmp_path):
     assert "ds" in pf  # the date predicate prunes partitions, not rows
 
 
+def test_partitioned_write_one_file_per_partition(spark, tmp_path):
+    """repartition(ds) before partitionBy(ds) must collapse the write to
+    exactly one parquet file per ds directory — without it, every
+    shuffle task holding rows for a date writes its own file, an
+    O(tasks x days) small-files fanout (the round-3 bench outlier and a
+    real NameNode hazard at 100 TB)."""
+    import os
+
+    ev = load(spark, SF_TEST_DIR, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("ds"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = str(tmp_path / "pq1f")
+    daily.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
+    ds_dirs = [d for d in os.listdir(out) if d.startswith("ds=")]
+    assert len(ds_dirs) > 1
+    for d in ds_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+
 # ---- engine-wide plan audit -------------------------------------------------
 # Every relational query's optimized plan is swept for scale red flags.
 # ML/streaming/stub queries are excluded (they execute jobs or train
