@@ -260,10 +260,10 @@ def struct_nested_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "variant_props_extract",
     oracle="""
-SELECT CAST(CAST(props ->> '$.k' AS BIGINT) % 7 AS BIGINT) AS k_mod,
+SELECT CAST(TRY_CAST(props ->> '$.k' AS BIGINT) % 7 AS BIGINT) AS k_mod,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+       CAST(MIN(TRY_CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(TRY_CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
 FROM events
 GROUP BY 1
 """,
@@ -277,7 +277,10 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     up front, which is what an evolving event-properties column needs.
     At 100 TB the parse cost is paid once per row either way; VARIANT
     additionally survives fields the struct schema never declared
-    (shredding into parquet keeps pushdown on hot paths)."""
+    (shredding into parquet keeps pushdown on hot paths). The oracle
+    mirrors try_variant_get's NULL-on-type-mismatch with TRY_CAST so a
+    fixture with heterogeneous props degrades to a visible hash
+    mismatch instead of an oracle crash."""
     ev = load(spark, sf_dir, "events")
     v = F.parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")

@@ -195,22 +195,22 @@ _CHECKSUM_ORACLE = """
 WITH o AS (
   SELECT COUNT(*) AS n_rows,
          bit_xor(('0x' || substr(md5(
-             CAST(o_orderkey AS VARCHAR) || '|' ||
-             CAST(o_custkey AS VARCHAR) || '|' ||
-             o_orderstatus || '|' ||
-             o_orderpriority || '|' ||
-             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
-             CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+             COALESCE(CAST(o_orderkey AS VARCHAR), '∅') || '|' ||
+             COALESCE(CAST(o_custkey AS VARCHAR), '∅') || '|' ||
+             COALESCE(o_orderstatus, '∅') || '|' ||
+             COALESCE(o_orderpriority, '∅') || '|' ||
+             COALESCE(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), '∅') || '|' ||
+             COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '∅')
          ), 1, 15))::BIGINT) AS checksum
   FROM orders
 ), l AS (
   SELECT COUNT(*) AS n_rows,
          bit_xor(('0x' || substr(md5(
-             CAST(l_orderkey AS VARCHAR) || '|' ||
-             CAST(l_linenumber AS VARCHAR) || '|' ||
-             l_returnflag || '|' ||
-             CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
-             CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+             COALESCE(CAST(l_orderkey AS VARCHAR), '∅') || '|' ||
+             COALESCE(CAST(l_linenumber AS VARCHAR), '∅') || '|' ||
+             COALESCE(l_returnflag, '∅') || '|' ||
+             COALESCE(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), '∅') || '|' ||
+             COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '∅')
          ), 1, 15))::BIGINT) AS checksum
   FROM lineitem
 )
@@ -222,10 +222,24 @@ SELECT 'lineitem' AS tbl, CAST(n_rows AS BIGINT) AS n_rows,
 """
 
 
+NULL_SENTINEL = "∅"
+
+
 def _row_checksum(cols) -> "F.Column":
+    """XOR-of-md5 row fingerprint over a canonical '|'-joined rendering.
+
+    Every field is coalesced to an explicit sentinel BEFORE joining:
+    Spark's concat_ws silently SKIPS null arguments while a SQL '||'
+    chain nullifies the whole rendering, so without the sentinel the
+    two engines fingerprint different things for any null field. The
+    '|' separator is also ambiguous if a string field can itself
+    contain '|' ('a|b', 'c' vs 'a', 'b|c' render identically); callers
+    must render fields that can contain the separator through an
+    escaping cast first."""
     from ..functions.hashing import md5_bigint
 
-    return F.bit_xor(md5_bigint(F.concat_ws("|", *cols)))
+    rendered = [F.coalesce(c, F.lit(NULL_SENTINEL)) for c in cols]
+    return F.bit_xor(md5_bigint(F.concat_ws("|", *rendered)))
 
 
 @query("table_checksum_audit", oracle=_CHECKSUM_ORACLE, tags=("audit", "A9"))
