@@ -30,14 +30,15 @@ WITH base AS (
   GROUP BY user_id
 )
 SELECT user_id,
-       types,
-       list_sort(list_filter(types, x -> list_contains({_REF_SQL}, x)))
+       array_to_string(types, ',') AS types,
+       array_to_string(list_sort(list_filter(types, x -> list_contains({_REF_SQL}, x))), ',')
          AS inter_ref,
-       list_sort(list_filter(types, x -> NOT list_contains({_REF_SQL}, x)))
+       array_to_string(list_sort(list_filter(types, x -> NOT list_contains({_REF_SQL}, x))), ',')
          AS beyond_ref,
-       list_sort(list_distinct(list_concat(types, {_REF_SQL}))) AS union_ref,
+       array_to_string(list_sort(list_distinct(list_concat(types, {_REF_SQL}))), ',')
+         AS union_ref,
        CAST(list_contains(types, 'purchase') AS INT) AS has_purchase,
-       types[1:2] AS first_two,
+       array_to_string(types[1:2], ',') AS first_two,
        CAST(len(types) AS INT) AS n_types
 FROM base
 """
@@ -51,8 +52,12 @@ FROM base
 def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user: the sorted distinct event-type vocabulary and its
     set algebra against a reference list — intersect, except, union,
-    contains, slice, size — all as built-in array expressions."""
+    contains, slice, size — all as built-in array expressions. Derived
+    arrays leave the query as comma-joined strings (elements contain no
+    commas): top-level array columns break the driver's pandas
+    canonicalizer, so the query surface stays scalar-only."""
     ref = F.array(*[F.lit(t) for t in REF_TYPES])
+    joined = lambda c: F.concat_ws(",", c)  # noqa: E731
     base = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -60,12 +65,14 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "user_id",
-        "types",
-        F.array_sort(F.array_intersect("types", ref)).alias("inter_ref"),
-        F.array_sort(F.array_except("types", ref)).alias("beyond_ref"),
-        F.array_sort(F.array_distinct(F.concat("types", ref))).alias("union_ref"),
+        joined(F.col("types")).alias("types"),
+        joined(F.array_sort(F.array_intersect("types", ref))).alias("inter_ref"),
+        joined(F.array_sort(F.array_except("types", ref))).alias("beyond_ref"),
+        joined(F.array_sort(F.array_distinct(F.concat("types", ref)))).alias(
+            "union_ref"
+        ),
         F.array_contains("types", "purchase").cast("int").alias("has_purchase"),
-        F.slice("types", 1, 2).alias("first_two"),
+        joined(F.slice("types", 1, 2)).alias("first_two"),
         F.size("types").alias("n_types"),
     )
 

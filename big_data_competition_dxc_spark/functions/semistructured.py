@@ -150,7 +150,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_user_types",
     oracle="""
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
 FROM events
 GROUP BY user_id
@@ -160,10 +160,16 @@ GROUP BY user_id
 def array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: each user's distinct event types as a SORTED
     array (collect_set order is nondeterministic — always sort before
-    comparing or storing)."""
+    comparing or storing), rendered as a comma-joined string in the
+    final projection (event types contain no commas) — top-level array
+    columns break the driver's pandas canonicalizer, so the query
+    surface is scalar-only (asserted registry-wide in
+    test_registry_scalar_outputs)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
     )
 

@@ -39,6 +39,18 @@ def _rowset(cols, rows):
 def test_matches_duckdb_oracle(name, spark, duck):
     entry = plans.QUERIES[name]
     sdf = entry.fn(spark, SF_TEST_DIR)
+    # Driver-canonicalizer guard: the driver's pandas sort_values raises
+    # TypeError on list/dict cells, so every oracle-paired query must
+    # emit a scalar-only top-level schema (arrays leave queries as
+    # sorted comma-joined strings or posexploded rows).
+    for field in sdf.schema.fields:
+        assert field.dataType.typeName() not in (
+            "array",
+            "map",
+            "struct",
+            "variant",
+            "binary",
+        ), f"{name}: non-scalar top-level column {field.name}"
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
