@@ -4,17 +4,14 @@ from .registry import QUERIES, QueryEntry, query  # noqa: F401
 def load_all() -> None:
     """Import every module that registers queries (idempotent).
 
-    ORDER MATTERS for external verification: the driver's correctness
-    gate hash-checks the first ~50 oracle-paired registrations in
-    registry (insertion) order. Rounds 1-2 only ever exposed the
-    relational core to that window, leaving 41 oracle-paired queries
-    (dedup / similarity / textops / multimodal / streaming / KNN /
-    semistructured / timeseries) driver-unverified. The modules
-    carrying those queries are therefore registered FIRST — after the
-    flagship rollup — so the externally recorded gate exercises the
-    full operator surface, not just the slice that happened to import
-    early. Every query is still verified locally regardless of order
-    (tests/test_oracle_parity.py parametrizes all 89 oracles)."""
+    Registration order no longer drives the external correctness
+    sample: ``__spark_entry__.queries()`` re-sorts the registry at call
+    time, stably partitioning queries with no recorded
+    CORRECTNESS_r*.json row to the front, so the driver's ~50-query
+    window rotates through the whole registry across rounds. Module
+    order below is kept roughly flagship-first for readability. Every
+    query is verified locally regardless of order
+    (tests/test_oracle_parity.py parametrizes all oracles)."""
     from ..operators import rollup  # noqa: F401  (flagship pipeline first)
 
     # Widened per phase; each import populates QUERIES via @query.
