@@ -213,8 +213,11 @@ def _user_cosine_pairs(
     Pass a cached ratings frame to avoid re-deriving it per use site.
 
     The self-join's wide side is pre-pruned to each item's top-ITEM_CAP
-    raters (see ITEM_CAP) — the window shuffles on item_id, the same
-    key the join shuffles on, so the cap costs no extra exchange."""
+    raters (see ITEM_CAP) — the window shuffles on item_id, and the
+    query-user side is BROADCAST (it holds only the N_QUERY_USERS query
+    users' ratings, tiny by construction), so the pair join adds no
+    exchange at all: the capped side streams straight out of its window
+    shuffle."""
     if r is None:
         r = ratings(spark, sf_dir)
     norms = r.groupBy("user_id").agg(
@@ -230,7 +233,8 @@ def _user_cosine_pairs(
         .select(F.col("user_id").alias("v"), "item_id", F.col("rating").alias("rb"))
     )
     pairs = (
-        a.join(b, ["item_id"])
+        F.broadcast(a)
+        .join(b, ["item_id"])
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum(F.col("ra") * F.col("rb")).alias("dp"))
@@ -311,8 +315,11 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K_NEIGHBORS)
         .select("u", "v", "sim")
     )
+    # neigh is at most N_QUERY_USERS * K_NEIGHBORS rows — broadcasting
+    # it turns the neighbor-ratings join into a map-side hash join, so
+    # the full ratings frame never shuffles on v
     scored = (
-        neigh.join(r.withColumnRenamed("user_id", "v"), "v")
+        F.broadcast(neigh).join(r.withColumnRenamed("user_id", "v"), "v")
         .groupBy(F.col("u").alias("user_id"), "item_id")
         # sim sits on a 4dp grid (rounded cosine), rating is integral, so
         # sim*rating units at dec=4 are exact — the weighted score ranks
