@@ -29,7 +29,17 @@ RUN PROTOCOL (read before comparing numbers across runs/rounds):
   fixed 20M-iteration loop timed before the queries): compare those
   before comparing wall times — a run with probe >2s or steal in the
   thousands is measuring the neighbor, not the code.
-- Reference totals on this container at sf0.1, local[8]: ~28-30s."""
+- Reference totals on this container at sf0.1, local[8]: ~28-30s.
+
+SCALE CHECK: after the main block, the same headline set runs once at
+sf1 (10x rows, deterministically derived from sf0.1 by
+scripts/gen_scale_data.py into benchdata/sf1 — auto-generated if
+absent; set SPARK_GRAFT_SKIP_SCALE=1 to skip). The `scale_check` JSON
+block records per-query wall and the per-query sf1/sf0.1 ratio: the
+designed plans claim sublinear scaling (partial aggregation, broadcast
+joins, LSH banding), so a query whose ratio far exceeds the 10x data
+ratio is flagged superlinear — plan-assertion claims about 100 TB
+behavior get an empirical check, not just .explain() inspection."""
 
 from __future__ import annotations
 
@@ -75,39 +85,114 @@ def main() -> None:
             pass  # missing table: the per-query loop reports it as -1
 
     headline = {n: e for n, e in plans.QUERIES.items() if e.bench}
+
+    def run_block(block_dir: str) -> tuple[dict[str, float], float]:
+        block: dict[str, float] = {}
+        t_all = time.perf_counter()
+        for name, entry in sorted(headline.items()):
+            t0 = time.perf_counter()
+            try:
+                df = entry.fn(spark, block_dir)
+                n = df.count()
+                block[name] = round(time.perf_counter() - t0, 3)
+                print(f"# {name}: {block[name]}s rows={n}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
+                block[name] = -1.0
+                print(f"# {name}: FAILED {exc}", file=sys.stderr)
+        return block, round(time.perf_counter() - t_all, 3)
+
+    # Noise gate (RUN PROTOCOL made executable): a run with hypervisor
+    # steal in the thousands or a slow compute probe is measuring the
+    # neighbor, not the code — rounds 2 and 3 both published such
+    # numbers. Retry the main block up to MAX_ATTEMPTS until an attempt
+    # passes the gate; if none does, publish the fastest attempt and
+    # say so in `noise_gate.accepted`.
+    MAX_ATTEMPTS = 3
+    STEAL_GATE = 1000
+    PROBE_GATE = 2.0
+    attempts = []
     timings: dict[str, float] = {}
-    probe = _cpu_probe()
-    steal0 = _steal_jiffies()
-    t_all = time.perf_counter()
-    for name, entry in sorted(headline.items()):
-        t0 = time.perf_counter()
-        try:
-            df = entry.fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
-            timings[name] = -1.0
-            print(f"# {name}: FAILED {exc}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+    total = -1.0
+    steal_main = -1
+    probe = -1.0
+    accepted = False
+    for _att in range(MAX_ATTEMPTS):
+        probe_a = _cpu_probe()
+        steal0 = _steal_jiffies()
+        timings_a, total_a = run_block(sf_dir)
+        steal_a = _steal_jiffies() - steal0
+        attempts.append(
+            {"value": total_a, "steal_jiffies": steal_a, "cpu_probe_sec": probe_a}
+        )
+        clean = 0 <= steal_a < STEAL_GATE and probe_a < PROBE_GATE
+        if clean or total < 0 or total_a < total:
+            timings, total, steal_main, probe = timings_a, total_a, steal_a, probe_a
+        if clean:
+            accepted = True
+            break
+        print(
+            f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — retrying",
+            file=sys.stderr,
+        )
+
+    # ---- scale check: same headline set at 10x (see docstring) ----
+    scale_check = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
+        here = os.path.dirname(os.path.abspath(__file__))
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", os.path.join(here, "benchdata", "sf1")
+        )
+        if not os.path.isdir(sf1_dir):
+            try:
+                sys.path.insert(0, here)
+                from scripts.gen_scale_data import generate
+
+                print("# generating sf1 scale data (10x sf0.1)", file=sys.stderr)
+                sf1_dir = generate()
+            except Exception as exc:  # noqa: BLE001
+                print(f"# scale-data generation failed: {exc}", file=sys.stderr)
+                sf1_dir = None
+        if sf1_dir and os.path.isdir(sf1_dir):
+            steal_sc0 = _steal_jiffies()
+            sc_timings, sc_total = run_block(sf1_dir)
+            scale_check = {
+                "sf": 1.0,
+                "value": sc_total,
+                "unit": "sec",
+                "queries": sc_timings,
+                "ratio_vs_main": {
+                    n: (
+                        round(sc_timings[n] / timings[n], 1)
+                        if timings.get(n, 0) > 0 and sc_timings[n] > 0
+                        else None
+                    )
+                    for n in sc_timings
+                },
+                "steal_jiffies": _steal_jiffies() - steal_sc0,
+            }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # contention diagnostics (see RUN PROTOCOL in docstring):
-                # hypervisor steal during the run + a fixed pure-Python
-                # compute probe timed just before it
-                "steal_jiffies": _steal_jiffies() - steal0,
-                "cpu_probe_sec": probe,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # contention diagnostics (see RUN PROTOCOL in docstring):
+        # hypervisor steal during the main block + a fixed pure-Python
+        # compute probe timed just before it
+        "steal_jiffies": steal_main,
+        "cpu_probe_sec": probe,
+        "noise_gate": {
+            "steal_gate": STEAL_GATE,
+            "probe_gate_sec": PROBE_GATE,
+            "accepted": accepted,
+            "attempts": attempts,
+        },
+    }
+    if scale_check is not None:
+        out["scale_check"] = scale_check
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
