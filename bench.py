@@ -86,6 +86,21 @@ def main() -> None:
 
     headline = {n: e for n, e in plans.QUERIES.items() if e.bench}
 
+    def _release_leaked_state() -> None:
+        """Unpersist RDD blocks that outlive their query (localCheckpoint
+        pins blocks for the session lifetime). Without this, each
+        checkpointing query's blocks accumulate across the ~28 timed
+        runs and evict later queries' caches — observed as
+        minhash_dedup_verified reading 38s in the sf1 block vs 8.3s in
+        a fresh session (the shingle cache was being recomputed). The
+        cleanup runs OUTSIDE the per-query timer: each query still pays
+        its own materialization cost."""
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)  # non-blocking: don't bill the next query
+        except Exception:  # noqa: BLE001 - cleanup must never fail the bench
+            pass
+
     def run_block(block_dir: str) -> tuple[dict[str, float], float]:
         block: dict[str, float] = {}
         t_all = time.perf_counter()
@@ -99,6 +114,7 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
                 block[name] = -1.0
                 print(f"# {name}: FAILED {exc}", file=sys.stderr)
+            _release_leaked_state()
         return block, round(time.perf_counter() - t_all, 3)
 
     # Noise gate (RUN PROTOCOL made executable): a run with hypervisor
