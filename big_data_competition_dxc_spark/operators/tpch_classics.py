@@ -298,3 +298,163 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", "total_qty",
         )
     )
+
+
+@query(
+    "q2_min_cost_part_per_group",
+    oracle="""
+SELECT p.p_partkey, p.p_name, p.p_type, p.p_size, p.p_retailprice
+FROM part p
+WHERE p.p_size IN (2, 11, 24, 37)
+  AND p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                         WHERE p2.p_type = p.p_type AND p2.p_size = p.p_size)
+""",
+    tags=("A4", "J2"),
+)
+def q2_min_cost_part_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape: correlated per-group MIN subquery ("the cheapest part of
+    its (type, size) group"), decorrelated the way Catalyst does it —
+    aggregate the group mins once, broadcast them back, filter on
+    equality. Price equality is exact (both sides are the same parquet
+    double, no arithmetic). Ties all qualify, same as the SQL."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_size").isin(2, 11, 24, 37))
+    mins = part.groupBy(
+        F.col("p_type").alias("m_type"), F.col("p_size").alias("m_size")
+    ).agg(F.min("p_retailprice").alias("m_price"))
+    return (
+        part.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("m_type"))
+            & (F.col("p_size") == F.col("m_size"))
+            & (F.col("p_retailprice") == F.col("m_price")),
+        )
+        .select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+    )
+
+
+@query(
+    "q11_part_revenue_share",
+    oracle=f"""
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(({_REV}) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS units
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, {sql_round("CAST(units AS DOUBLE) / 10000.0", 2)} AS revenue
+FROM pr
+WHERE CAST(units AS DOUBLE) > 0.0008 * (SELECT CAST(SUM(units) AS DOUBLE) FROM pr)
+""",
+    tags=("A4", "P8"),
+)
+def q11_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape: keep groups whose measure exceeds a fraction of the
+    GLOBAL total — the global total is a 1-row aggregate broadcast back
+    over the per-part frame (scalar-subquery decorrelation). The share
+    threshold is scale-invariant: the same 0.08% cut works at any SF
+    because both sides grow together. Units accumulate as exact
+    DECIMAL(38,0); only the final compare/round are double."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    units = F.floor(rev * F.lit(10000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    pr = lineitem.groupBy("l_partkey").agg(F.sum(units).alias("units"))
+    total = pr.agg(F.sum("units").cast("double").alias("t"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("units").cast("double") > F.lit(0.0008) * F.col("t"))
+        .select(
+            "l_partkey",
+            round_to(F.col("units").cast("double") / F.lit(10000.0), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q15_top_revenue_supplier",
+    oracle=f"""
+WITH sr AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(({_REV}) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '1999-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       {sql_round("CAST(sr.units AS DOUBLE) / 10000.0", 2)} AS total_revenue
+FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+WHERE sr.units = (SELECT MAX(units) FROM sr)
+""",
+    tags=("A4", "J1", "O1"),
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: the argmax group ("supplier(s) with the maximum
+    3-month revenue"), with ties kept. The equality test runs on the
+    exact DECIMAL units — never on a rounded double — so Spark and
+    DuckDB select identical winners even when two suppliers differ in
+    the last cent. The 1-row max broadcasts; supplier is a broadcast
+    dim."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-04-01")))
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    units = F.floor(rev * F.lit(10000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    sr = lineitem.groupBy("l_suppkey").agg(F.sum(units).alias("units"))
+    mx = sr.agg(F.max("units").alias("mx"))
+    return (
+        sr.join(F.broadcast(mx))
+        .filter(F.col("units") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_to(F.col("units").cast("double") / F.lit(10000.0), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q20_heavy_part_suppliers",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM sp JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+WHERE CAST(sp.qty AS DOUBLE) > 2.0 * (SELECT AVG(CAST(qty AS DOUBLE)) FROM sp)
+""",
+    tags=("A5", "J8", "P8"),
+)
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape: nested aggregate threshold — per-(supplier, part)
+    year quantities, a global average over THOSE aggregates, and the
+    suppliers holding any pair above 2x that average. Quantity sums are
+    integer-exact in double, and AVG divides two identical exact values,
+    so the threshold is bit-identical cross-engine. The 1-row average
+    broadcasts; DISTINCT collapses suppliers after the (tiny) survivor
+    join."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("2000-01-01")))
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    sp = (
+        lineitem.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qtyd"))
+        .select("l_suppkey", "l_partkey", F.col("qtyd").cast("bigint").alias("qty"))
+    )
+    avg1 = sp.agg(F.avg(F.col("qty").cast("double")).alias("avg_qty"))
+    return (
+        sp.join(F.broadcast(avg1))
+        .filter(F.col("qty").cast("double") > F.lit(2.0) * F.col("avg_qty"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
