@@ -212,12 +212,14 @@ def _user_cosine_pairs(
     dot products -> normalize. Returns (u, v, sim, rn) ranked per u.
     Pass a cached ratings frame to avoid re-deriving it per use site.
 
-    The self-join's wide side is pre-pruned to each item's top-ITEM_CAP
-    raters (see ITEM_CAP) — the window shuffles on item_id, and the
-    query-user side is BROADCAST (it holds only the N_QUERY_USERS query
-    users' ratings, tiny by construction), so the pair join adds no
-    exchange at all: the capped side streams straight out of its window
-    shuffle."""
+    The self-join's wide side is pre-pruned twice: first to the items
+    the query users rated (a semi-join that commutes with the per-item
+    window because whole partitions drop), then to each surviving
+    item's top-ITEM_CAP raters (see ITEM_CAP). The window shuffles on
+    item_id over that reduced frame only, and the query-user side is
+    BROADCAST (it holds only the N_QUERY_USERS query users' ratings,
+    tiny by construction), so the pair join adds no exchange at all:
+    the capped side streams straight out of its window shuffle."""
     if r is None:
         r = ratings(spark, sf_dir)
     norms = r.groupBy("user_id").agg(
@@ -226,9 +228,18 @@ def _user_cosine_pairs(
     a = r.select(
         F.col("user_id").alias("u"), "item_id", F.col("rating").alias("ra")
     ).filter(F.col("u") <= N_QUERY_USERS)
+    # Only items the query users rated can produce pairs, so restrict
+    # the contributor side BEFORE the per-item ranking window: the
+    # restriction commutes with a PARTITION BY item_id window (dropping
+    # whole partitions never changes the ranking inside survivors), and
+    # it shrinks the window shuffle from the full catalog to the query
+    # users' items — at 100 TB that is the difference between ranking
+    # every item's raters and ranking a few hundred items' raters.
+    qitems = a.select("item_id").distinct()
     cw = Window.partitionBy("item_id").orderBy(F.desc("rating"), F.asc("user_id"))
     b = (
-        r.withColumn("cr", F.row_number().over(cw))
+        r.join(F.broadcast(qitems), "item_id", "left_semi")
+        .withColumn("cr", F.row_number().over(cw))
         .filter(F.col("cr") <= ITEM_CAP)
         .select(F.col("user_id").alias("v"), "item_id", F.col("rating").alias("rb"))
     )
@@ -239,10 +250,14 @@ def _user_cosine_pairs(
         .groupBy("u", "v")
         .agg(F.sum(F.col("ra") * F.col("rb")).alias("dp"))
     )
+    # no broadcast hint on norms: the PAIR set is the small side by
+    # construction (bounded by N_QUERY_USERS * ITEM_CAP * items/user),
+    # and at scale the full norms frame (one row per user) is the side
+    # that must NOT be broadcast — AQE builds on the pair side.
     sims = (
-        pairs.join(F.broadcast(norms.withColumnRenamed("user_id", "u")), "u")
+        pairs.join(norms.withColumnRenamed("user_id", "u"), "u")
         .withColumnRenamed("nrm", "na")
-        .join(F.broadcast(norms.withColumnRenamed("user_id", "v")), "v")
+        .join(norms.withColumnRenamed("user_id", "v"), "v")
         .select(
             "u", "v", round_to(F.col("dp") / (F.col("na") * F.col("nrm")), 4).alias("sim")
         )
