@@ -45,6 +45,8 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.similarity.quantize",
         # --- round-6 additions (never yet in a driver window) ---
         "big_data_competition_dxc_spark.operators.tpch_classics",
+        "big_data_competition_dxc_spark.operators.tpch_classics_b",
+        "big_data_competition_dxc_spark.textops.boilerplate",
         # --- round-5 additions (never yet in a driver window) ---
         "big_data_competition_dxc_spark.operators.analytic_extras",
         "big_data_competition_dxc_spark.textops.diversity",

@@ -123,6 +123,10 @@ _BNLJ_OK = {
     "referential_integrity_audit",  # 1-row orphan-count scalar attach per edge
     "rfm_segments",             # 1-row max-date + median-boundary attaches
     "bigram_collocations",      # 1-row corpus-total scalar attaches (n_uni, n_bg)
+    "q11_part_revenue_share",   # 1-row global-revenue scalar attach
+    "q15_top_revenue_supplier",  # 1-row max-revenue scalar attach
+    "q20_heavy_part_suppliers",  # 1-row global-average scalar attach
+    "q22_idle_rich_customers",  # 1-row balance-threshold scalar attach
 }
 
 
