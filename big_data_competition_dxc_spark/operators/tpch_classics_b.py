@@ -85,6 +85,36 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue_change",
+    oracle=f"""
+SELECT {sql_round(
+        "CAST(SUM(CAST(floor(l.l_extendedprice * l.l_discount * 10000.0 + 0.5)"
+        " AS DECIMAL(38,0))) AS DOUBLE) / 10000.0", 2)} AS revenue
+FROM lineitem l
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+  AND l.l_discount BETWEEN 0.05 AND 0.07
+  AND l.l_quantity < 24
+""",
+    tags=("P3", "P8", "A4"),
+)
+def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6 shape: the single-scan conditional aggregate — no join at
+    all; the date, discount-band, and quantity predicates all push to
+    the parquet scan (row-group pruning on shipdate) and the answer is
+    one partial-aggregated sum of exact 4dp units. The canonical
+    'is your scan + pushdown + map-side combine path clean' probe."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    disc_rev = F.col("l_extendedprice") * F.col("l_discount")
+    return lineitem.agg(fixed_sum(disc_rev, 4, 2).alias("revenue"))
+
+
+@query(
     "q8_nation_market_share",
     oracle=f"""
 SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,

@@ -127,6 +127,7 @@ _BNLJ_OK = {
     "q15_top_revenue_supplier",  # 1-row max-revenue scalar attach
     "q20_heavy_part_suppliers",  # 1-row global-average scalar attach
     "q22_idle_rich_customers",  # 1-row balance-threshold scalar attach
+    "lm_bigram_cross_entropy",  # 1-row vocabulary-size scalar attach
 }
 
 
