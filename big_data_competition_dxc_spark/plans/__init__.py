@@ -16,6 +16,10 @@ def load_all() -> None:
 
     # Widened per phase; each import populates QUERIES via @query.
     for modpath in (
+        # --- round-4 late additions (never yet in a driver window) ---
+        "big_data_competition_dxc_spark.graph.pagerank",
+        "big_data_competition_dxc_spark.ml.itemcf",
+        "big_data_competition_dxc_spark.streaming.outer_join",
         # --- previously driver-unverified surface (round-3 reorder) ---
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",

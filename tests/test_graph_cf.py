@@ -1,0 +1,100 @@
+"""Semantic invariants of the round-4 late additions: fixed-point
+PageRank, item-item CF, and the stream-stream LEFT OUTER join — laws
+the DuckDB hash gate can't see (it proves Spark == oracle, not that
+both mean what the operator claims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_competition_dxc_spark import plans
+from big_data_competition_dxc_spark.graph.pagerank import SCALE
+from big_data_competition_dxc_spark.ml.itemcf import _neighbors
+
+from conftest import SF_TEST_DIR
+
+plans.load_all()
+
+
+def _df(name, spark):
+    return plans.QUERIES[name].fn(spark, SF_TEST_DIR)
+
+
+def test_pagerank_mass_conservation(spark):
+    """Scaled ranks must sum to ~SCALE: teleport injects (1-d) of the
+    mass and contributions redistribute the rest; integer floor-div
+    only ever LOSES mass (bounded by one unit per edge per term), so
+    sum(r) <= SCALE with a small deficit, never a surplus."""
+    import pytest
+
+    from big_data_competition_dxc_spark.sources import load
+
+    n_supp = (
+        load(spark, SF_TEST_DIR, "lineitem").select("l_suppkey").distinct().count()
+    )
+    if n_supp > 20:
+        pytest.skip("top-20 does not cover the node set at this SF")
+    rows = _df("pagerank_cosupply_top20", spark).collect()
+    assert rows
+    total = sum(r.rank_scaled for r in rows)
+    n = len(rows)
+    assert total <= SCALE
+    # deficit per node per iteration is < (outdeg truncations + 2 divs);
+    # loose global bound: 0.1% of the mass
+    assert total > SCALE * 0.999 - n * 300
+
+
+def test_pagerank_ranks_ordered_and_positive(spark):
+    rows = _df("pagerank_cosupply_top20", spark).collect()
+    scaled = [r.rank_scaled for r in rows]
+    assert scaled == sorted(scaled, reverse=True)
+    assert all(s > 0 for s in scaled)
+    # every node gets at least the teleport share
+    assert all(r.rank > 0.0 for r in rows)
+
+
+def test_itemcf_similarity_symmetric(spark):
+    """Cosine on co-occurrence is symmetric: sim_u(i,j) == sim_u(j,i)
+    for every computed pair (both orders exist by construction)."""
+    nb = _neighbors(spark, SF_TEST_DIR).select("i", "j", "sim_u")
+    sym = nb.alias("a").join(
+        nb.alias("b"),
+        (F.col("a.i") == F.col("b.j")) & (F.col("a.j") == F.col("b.i")),
+        "left",
+    )
+    bad = sym.filter(
+        F.col("b.sim_u").isNull() | (F.col("a.sim_u") != F.col("b.sim_u"))
+    ).count()
+    assert bad == 0
+
+
+def test_itemcf_recommendations_exclude_rated(spark):
+    """No recommended item may already be rated by that user."""
+    from big_data_competition_dxc_spark.ml.recommend import ratings
+
+    recs = _df("itemcf_user_recommend", spark)
+    r = ratings(spark, SF_TEST_DIR)
+    overlap = recs.join(r, ["user_id", "item_id"], "inner").count()
+    assert overlap == 0
+    assert recs.filter(F.col("rn") > 5).count() == 0
+
+
+def test_outer_attribution_supersets_inner(spark):
+    """The left-outer result must contain every inner-join pair within
+    its horizon, plus NULL rows for horizon purchases with no click —
+    and nothing else."""
+    outer = _df("stream_stream_outer_attribution", spark).collect()
+    assert outer
+    nulls = [r for r in outer if r.click_id is None]
+    matched = [r for r in outer if r.click_id is not None]
+    # the fixture has both attributed and unattributed purchases
+    assert nulls and matched
+    # matched rows carry a non-negative lag within the 30-min window
+    assert all(0 <= r.lag_seconds <= 1800 for r in matched)
+    # NULL rows carry NULL lag
+    assert all(r.lag_seconds is None for r in nulls)
+    # each purchase appears exactly once unless multiply attributed
+    ids = {r.purchase_id for r in outer}
+    null_ids = {r.purchase_id for r in nulls}
+    assert null_ids.isdisjoint({r.purchase_id for r in matched})
+    assert len(ids) == len(null_ids) + len({r.purchase_id for r in matched})
