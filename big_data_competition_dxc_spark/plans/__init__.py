@@ -20,6 +20,10 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.graph.pagerank",
         "big_data_competition_dxc_spark.ml.itemcf",
         "big_data_competition_dxc_spark.streaming.outer_join",
+        "big_data_competition_dxc_spark.ml.seqmining",
+        "big_data_competition_dxc_spark.sources.pysource",
+        "big_data_competition_dxc_spark.operators.recursive_cte",
+        "big_data_competition_dxc_spark.functions.udtf_ops",
         # --- previously driver-unverified surface (round-3 reorder) ---
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",
