@@ -11,15 +11,18 @@ DuckDB runs the IDENTICAL statement (both engines implement the
 standard UNION ALL recursion), so the oracle is a literal copy — the
 strongest possible cross-engine pin.
 
-Scale notes (100 TB): UNION ALL recursion enumerates PATHS, so work
-grows with degree^depth — fine for bounded-depth reach on a
-bounded-degree graph (the depth guard `hops < MAX_HOPS` is the
-termination proof), wrong for unbounded closure over a dense graph.
-The scale path for full connected components is the dedup-per-level
-iterative join in dedup/clustering.py (each level collapses to
-distinct frontier nodes before expanding); this query demonstrates the
-declarative construct, and its MIN(hops) aggregate collapses the path
-multiplicity at the end.
+Scale notes (100 TB): raw UNION ALL recursion enumerates WALKS, so
+work grows with degree^depth — found empirically: without dedup this
+query exceeds Spark's 1,000,000-row recursion guard
+(RECURSION_ROW_LIMIT_EXCEEDED) already at sf0.1 on the dense co-supply
+graph. Spark 4 does not yet support UNION-dedup recursive members
+(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the DISTINCT lives INSIDE
+the recursive member: each level collapses to its distinct frontier
+(≤ |V| rows per level, ≤ |V|·depth total) before expanding — the same
+dedup-per-level discipline as dedup/clustering.py's connected
+components, expressed declaratively. BFS distances (MIN over the
+per-level rows) are unaffected; walk multiplicity is deliberately not
+computed because materializing it IS the explosion.
 """
 
 from __future__ import annotations
@@ -41,12 +44,12 @@ WITH RECURSIVE pairs AS (
 reach(node, hops) AS (
   SELECT (SELECT MIN(src) FROM pairs) AS node, 0 AS hops
   UNION ALL
-  SELECT p.dst, r.hops + 1
+  SELECT DISTINCT p.dst, r.hops + 1
   FROM reach r JOIN pairs p ON p.src = r.node
   WHERE r.hops < {MAX_HOPS}
 )
 SELECT node AS s_suppkey, CAST(MIN(hops) AS BIGINT) AS min_hops,
-       COUNT(*) AS n_paths
+       COUNT(*) AS n_levels
 FROM reach
 GROUP BY node
 """
@@ -58,8 +61,8 @@ GROUP BY node
     tags=("iterative", "J2", "A1", "extension"),
 )
 def recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min hops (and path multiplicity) from the lowest-keyed supplier
-    to each supplier within {MAX_HOPS} co-supply hops — the SAME SQL
-    text executes on Spark and DuckDB."""
+    """Min hops (and reached-level count) from the lowest-keyed
+    supplier to each supplier within {MAX_HOPS} co-supply hops — the
+    SAME SQL text executes on Spark and DuckDB."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_REACH_SQL)

@@ -52,13 +52,13 @@ def test_python_datasource_plans_parallel_partitions(spark):
 
 def test_recursive_reach_anchored_and_bounded(spark):
     """The source supplier sits at hops 0; no node exceeds MAX_HOPS;
-    path multiplicity is at least 1 everywhere."""
+    per-level dedup bounds each node's row count by the level count."""
     rows = _df("recursive_cte_reach", spark).collect()
     assert rows
     src = min(r.s_suppkey for r in rows if r.min_hops == 0)
     assert any(r.s_suppkey == src and r.min_hops == 0 for r in rows)
     assert all(0 <= r.min_hops <= MAX_HOPS for r in rows)
-    assert all(r.n_paths >= 1 for r in rows)
+    assert all(1 <= r.n_levels <= MAX_HOPS + 1 for r in rows)
 
 
 def test_udtf_chunks_reassemble(spark):

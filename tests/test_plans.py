@@ -109,7 +109,9 @@ def test_partitioned_write_one_file_per_partition(spark, tmp_path):
 # models at plan-build time); Pandas-UDF queries are allowed their
 # ArrowEvalPython node but nothing else is.
 
-_AUDIT_EXCLUDE_TAGS = {"ML", "streaming", "stub"}
+_AUDIT_EXCLUDE_TAGS = {"ML", "streaming", "stub", "UDTF"}
+# ("UDTF": udtf_word_chunks is the flagged lateral-Python-UDTF demo —
+# a Python eval node is its entire point, not a hot-path regression)
 # non-equi all-pairs / range joins where a broadcast nested-loop join
 # IS the intended plan (small side broadcast, big side streamed):
 # embedding_neardup_pairs is NOT here: its exact pair space now
