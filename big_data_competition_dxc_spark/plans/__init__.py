@@ -24,6 +24,8 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.sources.pysource",
         "big_data_competition_dxc_spark.operators.recursive_cte",
         "big_data_competition_dxc_spark.functions.udtf_ops",
+        "big_data_competition_dxc_spark.operators.privacy",
+        "big_data_competition_dxc_spark.operators.cdc_deletes",
         # --- previously driver-unverified surface (round-3 reorder) ---
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",

@@ -61,6 +61,60 @@ def test_recursive_reach_anchored_and_bounded(spark):
     assert all(1 <= r.n_levels <= MAX_HOPS + 1 for r in rows)
 
 
+def test_pseudonymization_preserves_join_counts(spark):
+    """The tokenized join must reproduce the plaintext join's
+    per-segment order counts exactly (referential integrity survives
+    pseudonymization)."""
+    rows = _df("pseudonymize_consistent_join", spark).collect()
+    c = load(spark, SF_TEST_DIR, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, SF_TEST_DIR, "orders").select("o_custkey")
+    plain = {
+        r["c_mktsegment"]: (r["n_orders"], r["n_customers"])
+        for r in c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_custkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .collect()
+    }
+    assert plain == {r.mktsegment: (r.n_orders, r.n_customers) for r in rows}
+
+
+def test_k_anonymity_release_rule(spark):
+    """No released group may be smaller than K; suppressed + kept rows
+    must account for every customer."""
+    from big_data_competition_dxc_spark.operators.privacy import K_ANON
+
+    rows = _df("k_anonymity_groups", spark).collect()
+    kept = [r for r in rows if r.status == "kept"]
+    supp = [r for r in rows if r.status == "suppressed"]
+    assert len(supp) == 1
+    assert all(r.n >= K_ANON for r in kept)
+    total = load(spark, SF_TEST_DIR, "customer").count()
+    assert sum(r.n for r in kept) + supp[0].n == total
+
+
+def test_cdc_deletes_drop_exactly_tombstoned_keys(spark):
+    """Snapshot keys + tombstoned keys must partition the user set, and
+    no snapshot row may itself be a tombstone."""
+    from big_data_competition_dxc_spark.operators.cdc_deletes import TOMBSTONE_TYPE
+
+    snap = _df("cdc_apply_with_deletes", spark)
+    assert snap.filter(F.col("last_type") == TOMBSTONE_TYPE).count() == 0
+    ev = load(spark, SF_TEST_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    n_tomb = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") == TOMBSTONE_TYPE))
+        .count()
+    )
+    assert snap.count() == n_users - n_tomb
+
+
 def test_udtf_chunks_reassemble(spark):
     """Joining each document's chunks back in order must reproduce the
     original text exactly — the UDTF is a lossless partition."""
