@@ -95,6 +95,19 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_negative_samples_are_unrated_and_complete(spark):
+    """No sampled pair may exist in the ratings table, and every query
+    user gets exactly NEG_K negatives (catalog is far larger)."""
+    from big_data_competition_dxc_spark.ml.negative_sampling import NEG_K
+    from big_data_competition_dxc_spark.ml.recommend import ratings
+
+    neg = _df("negative_sample_pairs", spark)
+    r = ratings(spark, SF_TEST_DIR)
+    assert neg.join(r, ["user_id", "item_id"], "inner").count() == 0
+    per_user = neg.groupBy("user_id").count().collect()
+    assert per_user and all(row["count"] == NEG_K for row in per_user)
+
+
 def test_cdc_deletes_drop_exactly_tombstoned_keys(spark):
     """Snapshot keys + tombstoned keys must partition the user set, and
     no snapshot row may itself be a tombstone."""

@@ -131,6 +131,8 @@ _BNLJ_OK = {
     "q22_idle_rich_customers",  # 1-row balance-threshold scalar attach
     "lm_bigram_cross_entropy",  # 1-row vocabulary-size scalar attach
 }
+# (negative_sample_pairs' broadcast cross join needs no entry: its ML
+# tag already excludes it from the audit, like the other ML queries)
 
 
 def _auditable():
