@@ -27,6 +27,8 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.privacy",
         "big_data_competition_dxc_spark.operators.cdc_deletes",
         "big_data_competition_dxc_spark.ml.negative_sampling",
+        "big_data_competition_dxc_spark.similarity.hard_negatives",
+        "big_data_competition_dxc_spark.functions.grouped_pandas",
         # --- previously driver-unverified surface (round-3 reorder) ---
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",

@@ -95,6 +95,20 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_hard_negatives_cross_label_only(spark):
+    """Every mined pair must cross labels, and per anchor the sims must
+    be non-increasing in rank."""
+    rows = _df("hard_negative_mining", spark).collect()
+    assert rows
+    assert all(r.anchor_label != r.neighbor_label for r in rows)
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.q_id, []).append((r.rn, r.sim))
+    for sims in by_anchor.values():
+        ordered = [s for _, s in sorted(sims)]
+        assert ordered == sorted(ordered, reverse=True)
+
+
 def test_negative_samples_are_unrated_and_complete(spark):
     """No sampled pair may exist in the ratings table, and every query
     user gets exactly NEG_K negatives (catalog is far larger)."""
