@@ -95,6 +95,22 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_temperature_mixture_flattens(spark):
+    """Temperature sampling must assign LOWER keep rates to LARGER
+    domains (rate monotone non-increasing in n_total), and the realized
+    sample must land near the half-corpus budget."""
+    rows = sorted(
+        _df("temperature_mixture_rates", spark).collect(), key=lambda r: r.n_total
+    )
+    assert rows
+    rates = [r.rate_bp for r in rows]
+    assert rates == sorted(rates, reverse=True)
+    n = sum(r.n_total for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    # md5 thresholding is uniform; allow generous sampling noise
+    assert abs(kept - n / 2) < max(10, 0.15 * n)
+
+
 def test_hard_negatives_cross_label_only(spark):
     """Every mined pair must cross labels, and per anchor the sims must
     be non-increasing in rank."""

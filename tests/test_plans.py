@@ -130,6 +130,7 @@ _BNLJ_OK = {
     "q20_heavy_part_suppliers",  # 1-row global-average scalar attach
     "q22_idle_rich_customers",  # 1-row balance-threshold scalar attach
     "lm_bigram_cross_entropy",  # 1-row vocabulary-size scalar attach
+    "temperature_mixture_rates",  # 1-row corpus-totals scalar attach
 }
 # (negative_sample_pairs' broadcast cross join needs no entry: its ML
 # tag already excludes it from the audit, like the other ML queries)
