@@ -95,6 +95,39 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_span_corruption_is_invertible(spark):
+    """Splicing each sentinel's target span back into the input must
+    reproduce the original document exactly — the denoising pair is a
+    lossless re-encoding."""
+    import re
+
+    rows = _df("span_corruption_pairs", spark).limit(100).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_TEST_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    saw_masked = False
+    for r in rows:
+        spans = {}
+        for part in re.split(r"(<X\d+>)", r.target_text):
+            if re.fullmatch(r"<X\d+>", part):
+                key = part
+                spans[key] = ""
+            elif part.strip():
+                spans[key] = part.strip()
+        rebuilt = r.input_text
+        for key, words in spans.items():
+            rebuilt = rebuilt.replace(key, words)
+        assert rebuilt == docs[r.doc_id], r.doc_id
+        if r.n_masked_spans > 0:
+            saw_masked = True
+            assert len(spans) == r.n_masked_spans
+    assert saw_masked
+
+
 def test_temperature_mixture_flattens(spark):
     """Temperature sampling must assign LOWER keep rates to LARGER
     domains (rate monotone non-increasing in n_total), and the realized
