@@ -31,6 +31,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.functions.grouped_pandas",
         "big_data_competition_dxc_spark.textops.mixture",
         "big_data_competition_dxc_spark.textops.span_corruption",
+        "big_data_competition_dxc_spark.operators.maintenance",
         # --- previously driver-unverified surface (round-3 reorder) ---
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",

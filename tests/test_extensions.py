@@ -95,6 +95,36 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_incremental_merge_overlaps_groups(spark):
+    """The late delta must genuinely overlap snapshot groups (else the
+    merge degenerates to a union and proves nothing)."""
+    from big_data_competition_dxc_spark.operators.maintenance import LATE_MOD
+
+    ev = load(spark, SF_TEST_DIR, "events").select(
+        F.to_date("ts").alias("ds"), "event_type", "event_id"
+    )
+    both = (
+        ev.groupBy("ds", "event_type")
+        .agg(
+            F.sum((F.col("event_id") % LATE_MOD == 0).cast("int")).alias("late"),
+            F.sum((F.col("event_id") % LATE_MOD != 0).cast("int")).alias("base"),
+        )
+        .filter((F.col("late") > 0) & (F.col("base") > 0))
+        .count()
+    )
+    assert both > 0
+
+
+def test_drift_shares_account(spark):
+    """Permille shares must floor-sum to at most 1000 per window and
+    the per-type deltas must net out near zero."""
+    rows = _df("snapshot_drift_report", spark).collect()
+    assert rows
+    assert sum(r.share_a_pm for r in rows) <= 1000
+    assert sum(r.share_b_pm for r in rows) <= 1000
+    assert abs(sum(r.delta_pm for r in rows)) <= len(rows)
+
+
 def test_span_corruption_is_invertible(spark):
     """Splicing each sentinel's target span back into the input must
     reproduce the original document exactly — the denoising pair is a
