@@ -95,6 +95,49 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restarting an availableNow stream against the SAME checkpoint
+    must process ZERO new rows: the checkpoint's source offsets make
+    replays exactly-once at the sink even though the input files are
+    still present. This is the restart-safety half of the streaming
+    story (the watermark tests cover the in-flight half)."""
+    import os
+
+    from big_data_competition_dxc_spark.streaming.rollup_stream import (
+        nanos_conf_scope,
+        staged_events_stream,
+    )
+
+    stream, stage = staged_events_stream(spark, SF_TEST_DIR)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    out = stream.select("event_id", "user_id", "event_type")
+
+    def run_once():
+        with nanos_conf_scope(spark):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    try:
+        run_once()
+        n_first = spark.read.parquet(sink).count()
+        assert n_first > 0
+        run_once()  # same checkpoint, no new files -> no new rows
+        n_second = spark.read.parquet(sink).count()
+        assert n_second == n_first
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def test_incremental_merge_overlaps_groups(spark):
     """The late delta must genuinely overlap snapshot groups (else the
     merge degenerates to a union and proves nothing)."""
