@@ -77,8 +77,11 @@ _SIMS_SQL = f"""
 """
 
 
-def _capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = ratings(spark, sf_dir)
+def _capped(
+    spark: SparkSession, sf_dir: str, r: DataFrame | None = None
+) -> DataFrame:
+    if r is None:
+        r = ratings(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("rating").desc(), F.col("item_id"))
     return (
         r.withColumn("rn", F.row_number().over(w))
@@ -87,11 +90,14 @@ def _capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _neighbors(
+    spark: SparkSession, sf_dir: str, r: DataFrame | None = None
+) -> DataFrame:
     """(i, j, sim_u, rn): micro-unit cosine similarity per ordered item
     pair, ranked per i. sim_u is BIGINT from the first moment — the
-    one float op (sqrt+divide) happens exactly once per pair."""
-    capped = _capped(spark, sf_dir)
+    one float op (sqrt+divide) happens exactly once per pair. Pass a
+    ratings frame to build the model on a subset (train split)."""
+    capped = _capped(spark, sf_dir, r)
     pop = capped.groupBy("item_id").agg(F.count("*").alias("n"))
     a = capped.alias("a")
     b = capped.alias("b")

@@ -95,6 +95,21 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_ranking_eval_metric_laws(spark):
+    """Hits are bounded by both the rec-list length and the holdout
+    size; reciprocal rank is positive exactly when a hit exists; the
+    split leaves every query user with train data."""
+    from big_data_competition_dxc_spark.ml.itemcf import TOPK_RECS
+
+    rows = _df("itemcf_ranking_eval", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= min(TOPK_RECS, r.n_holdout)
+        assert (r.rr_micro > 0) == (r.n_hits > 0)
+        assert (r.recall_micro > 0) == (r.n_hits > 0)
+    assert any(r.n_holdout > 0 for r in rows)
+
+
 def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     """Restarting an availableNow stream against the SAME checkpoint
     must process ZERO new rows: the checkpoint's source offsets make
