@@ -33,6 +33,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.textops.span_corruption",
         "big_data_competition_dxc_spark.operators.maintenance",
         "big_data_competition_dxc_spark.ml.ranking_eval",
+        "big_data_competition_dxc_spark.streaming.lateness_audit",
         # --- previously driver-unverified surface (round-3 reorder) ---
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",

@@ -95,6 +95,22 @@ def test_k_anonymity_release_rule(spark):
     assert sum(r.n for r in kept) + supp[0].n == total
 
 
+def test_lateness_audit_cumulative_monotone(spark):
+    """Retained-permille must be monotone in the candidate delay and
+    reach exactly 1000 at the last bucket; counts account for every
+    event."""
+    rows = sorted(
+        _df("watermark_lateness_audit", spark).collect(),
+        key=lambda r: r.le_minutes,
+    )
+    assert rows
+    pms = [r.retained_pm for r in rows]
+    assert pms == sorted(pms)
+    assert pms[-1] == 1000
+    total = sum(r.n_events for r in rows)
+    assert total == load(spark, SF_TEST_DIR, "events").count()
+
+
 def test_ranking_eval_metric_laws(spark):
     """Hits are bounded by both the rec-list length and the holdout
     size; reciprocal rank is positive exactly when a hit exists; the
