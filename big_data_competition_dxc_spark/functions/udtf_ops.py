@@ -15,7 +15,11 @@ The oracle recomputes the identical chunking in DuckDB (string_split +
 an indexed list_transform for ordinality + list_slice), so the UDTF's
 full output — chunk indices, text, word counts — is value-pinned
 cross-engine. Both sides split on single spaces with identical
-empty-string semantics (no normalization on either side).
+empty-string semantics (no normalization on either side), and BOTH
+sides emit zero rows for a NULL text: the oracle NULL-propagates
+through string_split/generate_series/unnest, so ``eval`` must skip
+NULL explicitly rather than coerce it to '' (which would emit one
+phantom chunk row only on the Spark side).
 """
 
 from __future__ import annotations
@@ -32,7 +36,9 @@ CHUNK_WORDS = 10
 @udtf(returnType="chunk_idx bigint, chunk string, n_words bigint")
 class _ChunkWords:
     def eval(self, text: str):
-        words = (text or "").split(" ")
+        if text is None:  # match the oracle's NULL propagation: no rows
+            return
+        words = text.split(" ")
         for i in range(0, len(words), CHUNK_WORDS):
             chunk = words[i : i + CHUNK_WORDS]
             yield i // CHUNK_WORDS + 1, " ".join(chunk), len(chunk)

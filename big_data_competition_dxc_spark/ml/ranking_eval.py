@@ -40,7 +40,7 @@ from .recommend import _RATINGS_SQL, N_QUERY_USERS, ratings
 HOLDOUT_MOD = 10
 HOLDOUT_LT = 4  # 40% test, mirroring D:51's 60/40 split
 
-_HASH = "md5(CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR))"
+_PAIR = "CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR)"
 
 
 @query(
@@ -49,11 +49,11 @@ _HASH = "md5(CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR))"
 WITH r0 AS ({_RATINGS_SQL}),
 holdout AS (
   SELECT user_id, item_id FROM r0
-  WHERE ('0x' || substr({_HASH}, 1, 15))::BIGINT % {HOLDOUT_MOD} < {HOLDOUT_LT}
+  WHERE {sql_md5_bigint(_PAIR)} % {HOLDOUT_MOD} < {HOLDOUT_LT}
 ),
 r AS (
   SELECT * FROM r0
-  WHERE ('0x' || substr({_HASH}, 1, 15))::BIGINT % {HOLDOUT_MOD} >= {HOLDOUT_LT}
+  WHERE {sql_md5_bigint(_PAIR)} % {HOLDOUT_MOD} >= {HOLDOUT_LT}
 ),
 capped AS ({_CAPPED_SQL}),
 {_SIMS_SQL},

@@ -96,14 +96,17 @@ b AS (
   WHERE CAST(ts AS DATE) >= (SELECT c FROM cutoff) GROUP BY event_type
 ),
 t AS (SELECT (SELECT SUM(n_a) FROM a) AS ta, (SELECT SUM(n_b) FROM b) AS tb)
-SELECT a.event_type,
-       CAST(a.n_a AS BIGINT) AS n_a,
-       CAST(b.n_b AS BIGINT) AS n_b,
-       CAST((a.n_a * 1000) // (SELECT ta FROM t) AS BIGINT) AS share_a_pm,
-       CAST((b.n_b * 1000) // (SELECT tb FROM t) AS BIGINT) AS share_b_pm,
-       CAST((b.n_b * 1000) // (SELECT tb FROM t)
-            - (a.n_a * 1000) // (SELECT ta FROM t) AS BIGINT) AS delta_pm
-FROM a JOIN b ON a.event_type = b.event_type
+SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+       CAST(COALESCE(a.n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(b.n_b, 0) AS BIGINT) AS n_b,
+       CAST((COALESCE(a.n_a, 0) * 1000) // (SELECT ta FROM t) AS BIGINT)
+         AS share_a_pm,
+       CAST((COALESCE(b.n_b, 0) * 1000) // (SELECT tb FROM t) AS BIGINT)
+         AS share_b_pm,
+       CAST((COALESCE(b.n_b, 0) * 1000) // (SELECT tb FROM t)
+            - (COALESCE(a.n_a, 0) * 1000) // (SELECT ta FROM t) AS BIGINT)
+         AS delta_pm
+FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
 """,
     tags=("A1", "governance", "P3"),
 )
@@ -129,11 +132,21 @@ def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = a.agg(F.sum("n_a")).collect()[0][0]
     tb = b.agg(F.sum("n_b")).collect()[0][0]
-    return a.join(b, "event_type").select(
-        "event_type",
-        "n_a",
-        "n_b",
-        F.expr(f"(n_a * 1000) div {ta}").alias("share_a_pm"),
-        F.expr(f"(n_b * 1000) div {tb}").alias("share_b_pm"),
-        F.expr(f"(n_b * 1000) div {tb} - (n_a * 1000) div {ta}").alias("delta_pm"),
+    # FULL OUTER, not inner: an event type present in only one window
+    # (newly appearing or vanished — the strongest drift signal) must
+    # surface with a ±share permille delta, not silently drop out.
+    return (
+        a.join(b, "event_type", "full_outer")
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(f"(n_a * 1000) div {ta}").alias("share_a_pm"),
+            F.expr(f"(n_b * 1000) div {tb}").alias("share_b_pm"),
+            F.expr(f"(n_b * 1000) div {tb} - (n_a * 1000) div {ta}").alias(
+                "delta_pm"
+            ),
+        )
     )

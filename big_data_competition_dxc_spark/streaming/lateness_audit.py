@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import sql_md5_bigint
 from ..plans.registry import query
 from ..sources import load
 
@@ -55,7 +56,7 @@ def _bucket_sql(lateness: str) -> str:
     oracle=f"""
 WITH ord AS (
   SELECT event_id, ts,
-         event_id + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+         event_id + {sql_md5_bigint("CAST(event_id AS VARCHAR)")}
                     % {JITTER} AS ak
   FROM events
 ),
@@ -122,7 +123,6 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_bucket_sql("late_s")).cast("bigint").alias("le_minutes")
     ).agg(F.count("*").alias("n_events"))
     total = b.agg(F.sum("n_events")).collect()[0][0]
-    wcum = Window.orderBy("le_minutes").rowsBetween(Window.unboundedPreceding, 0)
     return b.withColumn(
         "retained_pm",
         F.expr(f"(sum(n_events) OVER (ORDER BY le_minutes "

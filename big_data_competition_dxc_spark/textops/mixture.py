@@ -18,9 +18,15 @@ is exact BIGINT arithmetic:
     rate_bp(d) = min(10000, (10000 * (N div 2) * w_d) div (W * n_d))
 
 so the derived rates — and therefore the sampled subset — are
-bit-identical cross-engine. BIGINT bounds the corpus at ~1e9 docs for
-this arithmetic (numerator ~1e4·5e8·3e10); past that the 5-row rate
-table switches to DECIMAL(38,0) at zero cost.
+bit-identical cross-engine. The numerator is computed in 128-bit
+integer arithmetic on BOTH engines (Spark DECIMAL(38,0), DuckDB
+HUGEINT — the 5-row rate table makes this free): int64 would wrap
+silently in Spark at ~2e6 docs (BP·(N div 2)·w ≈ 1e4·1e6·1.4e9
+already exceeds 2^63) while DuckDB raises, the worst kind of
+cross-engine divergence. In 128 bits the numerator bound is 1e38,
+i.e. ~1e12 docs with room to spare, and the final quotient
+(≤ BP/2 · sqrt(N) for the smallest domain) fits BIGINT at any
+plausible corpus size.
 
 Scale notes (100 TB): two scans of (doc_id, lang) — one for counts
 (map-side-combinable groupBy), one to apply the broadcast 5-row rate
@@ -51,8 +57,8 @@ t AS (SELECT SUM(n_total) AS n_corpus, SUM(w) AS w_sum FROM w),
 r AS (
   SELECT lang, n_total,
          CAST(least({BP},
-              ({BP} * ((SELECT n_corpus FROM t) // 2) * w)
-              // ((SELECT w_sum FROM t) * n_total)) AS BIGINT) AS rate_bp
+              ({BP}::HUGEINT * ((SELECT n_corpus FROM t) // 2) * w)
+              // ((SELECT w_sum FROM t)::HUGEINT * n_total)) AS BIGINT) AS rate_bp
   FROM w
 ),
 k AS (
@@ -87,8 +93,14 @@ def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rate_bp",
             F.least(
-                F.lit(BP),
-                F.expr(f"({BP} * (n_corpus div 2) * w) div (w_sum * n_total)"),
+                F.lit(BP).cast("bigint"),
+                F.expr(
+                    f"(CAST({BP} AS DECIMAL(38,0))"
+                    f" * CAST(n_corpus div 2 AS DECIMAL(38,0))"
+                    f" * CAST(w AS DECIMAL(38,0)))"
+                    f" div (CAST(w_sum AS DECIMAL(38,0))"
+                    f" * CAST(n_total AS DECIMAL(38,0)))"
+                ),
             ).cast("bigint"),
         )
         .select("lang", "n_total", "rate_bp")

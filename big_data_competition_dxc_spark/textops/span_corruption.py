@@ -117,9 +117,12 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_masked = F.size(
         F.filter(toks, lambda t: t["first"] & masked_span(t["sp"]))
     ).cast("bigint")
+    # COALESCE mirrors the oracle's: DuckDB's array_to_string is NULL
+    # for both the empty list (short docs) AND a NULL text, and the
+    # oracle maps both to '' — a NULL-text row must not diverge.
     return docs.select(
         "doc_id",
         input_text.alias("input_text"),
-        target_text.alias("target_text"),
+        F.coalesce(target_text, F.lit("")).alias("target_text"),
         n_masked.alias("n_masked_spans"),
     )
