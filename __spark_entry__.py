@@ -30,25 +30,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotation_order() -> list[str]:
-    """Registry names with never-driver-checked queries first.
+    """Registry names ordered stale-err first, then never-driver-checked.
 
     The driver's correctness gate samples ~50 queries per round from the
     front of this dict; every query is verified locally regardless
     (tests/test_oracle_parity.py parametrizes all oracles), but the
-    driver's independent check is the hard signal. Reading the recorded
-    CORRECTNESS_r*.json history and stably partitioning unchecked
-    queries to the front makes the sample window rotate through the
-    whole registry across rounds with no manual reordering."""
-    checked: set[str] = set()
+    driver's independent check is the hard signal. Priority classes,
+    derived from the recorded CORRECTNESS_r*.json history:
+
+    1. queries whose LATEST driver record is an error — a query whose
+       last audit-trail entry says `err` is indistinguishable from
+       broken no matter how green the local suite is, so a fix must be
+       re-proven by the driver before anything new is;
+    2. queries the driver has never sampled;
+    3. everything already green, in registry order (stable, so the
+       window keeps rotating through the registry across rounds).
+    """
+    latest: dict[str, bool] = {}  # name -> latest recorded run errored
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                checked |= set(json.load(f))
+                records = json.load(f)
         except (OSError, ValueError):
             continue
+        for name, rec in records.items():
+            # rows-only queries record the sentinel err='no_oracle' on a
+            # SUCCESSFUL run (spark_rows non-null) — only a real
+            # traceback/failure counts as stale-err.
+            latest[name] = (
+                isinstance(rec, dict)
+                and bool(rec.get("err"))
+                and rec.get("err") != "no_oracle"
+            )
     names = list(plans.QUERIES)
-    return [n for n in names if n not in checked] + [n for n in names if n in checked]
+    stale_err = [n for n in names if latest.get(n)]
+    never = [n for n in names if n not in latest]
+    green = [n for n in names if latest.get(n) is False]
+    return stale_err + never + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -35,11 +35,16 @@ SCALE CHECK: after the main block, the same headline set runs once at
 sf1 (10x rows, deterministically derived from sf0.1 by
 scripts/gen_scale_data.py into benchdata/sf1 — auto-generated if
 absent; set SPARK_GRAFT_SKIP_SCALE=1 to skip). The `scale_check` JSON
-block records per-query wall and the per-query sf1/sf0.1 ratio: the
-designed plans claim sublinear scaling (partial aggregation, broadcast
-joins, LSH banding), so a query whose ratio far exceeds the 10x data
-ratio is flagged superlinear — plan-assertion claims about 100 TB
-behavior get an empirical check, not just .explain() inspection."""
+block records per-query wall, the per-query sf1/sf0.1 wall ratio, AND
+the output-row ratio (pair-generating dedup queries legitimately emit
+superlinear output — the wall ratio is only judgeable next to the
+output ratio): the designed plans claim sublinear scaling (partial
+aggregation, broadcast joins, LSH banding), so a query whose wall
+ratio far exceeds both the 10x data ratio and its own output growth is
+flagged superlinear — plan-assertion claims about 100 TB behavior get
+an empirical check, not just .explain() inspection. The scale block
+runs under the SAME noise gate + retry as the main block and carries
+its own `noise_gate.accepted`."""
 
 from __future__ import annotations
 
@@ -101,8 +106,11 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - cleanup must never fail the bench
             pass
 
-    def run_block(block_dir: str) -> tuple[dict[str, float], float]:
+    def run_block(
+        block_dir: str,
+    ) -> tuple[dict[str, float], dict[str, int], float]:
         block: dict[str, float] = {}
+        rows: dict[str, int] = {}
         t_all = time.perf_counter()
         for name, entry in sorted(headline.items()):
             t0 = time.perf_counter()
@@ -110,12 +118,14 @@ def main() -> None:
                 df = entry.fn(spark, block_dir)
                 n = df.count()
                 block[name] = round(time.perf_counter() - t0, 3)
+                rows[name] = n
                 print(f"# {name}: {block[name]}s rows={n}", file=sys.stderr)
             except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
                 block[name] = -1.0
+                rows[name] = -1
                 print(f"# {name}: FAILED {exc}", file=sys.stderr)
             _release_leaked_state()
-        return block, round(time.perf_counter() - t_all, 3)
+        return block, rows, round(time.perf_counter() - t_all, 3)
 
     # Noise gate (RUN PROTOCOL made executable): a run with hypervisor
     # steal in the thousands or a slow compute probe is measuring the
@@ -126,30 +136,50 @@ def main() -> None:
     MAX_ATTEMPTS = 3
     STEAL_GATE = 1000
     PROBE_GATE = 2.0
-    attempts = []
-    timings: dict[str, float] = {}
-    total = -1.0
-    steal_main = -1
-    probe = -1.0
-    accepted = False
-    for _att in range(MAX_ATTEMPTS):
-        probe_a = _cpu_probe()
-        steal0 = _steal_jiffies()
-        timings_a, total_a = run_block(sf_dir)
-        steal_a = _steal_jiffies() - steal0
-        attempts.append(
-            {"value": total_a, "steal_jiffies": steal_a, "cpu_probe_sec": probe_a}
-        )
-        clean = 0 <= steal_a < STEAL_GATE and probe_a < PROBE_GATE
-        if clean or total < 0 or total_a < total:
-            timings, total, steal_main, probe = timings_a, total_a, steal_a, probe_a
-        if clean:
-            accepted = True
-            break
-        print(
-            f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — retrying",
-            file=sys.stderr,
-        )
+    def gated_block(block_dir: str) -> dict:
+        """Run one headline block under the noise gate, retrying up to
+        MAX_ATTEMPTS until an attempt is clean; if none is, keep the
+        fastest attempt and record accepted=False. BOTH the main sf0.1
+        block and the sf1 scale block go through this — round 4
+        published a scale block with steal=1706 whose contaminated
+        ratios contradicted SCALING.md, exactly because the gate only
+        wrapped the main block."""
+        best: dict = {}
+        attempts = []
+        for _att in range(MAX_ATTEMPTS):
+            probe_a = _cpu_probe()
+            steal0 = _steal_jiffies()
+            timings_a, rows_a, total_a = run_block(block_dir)
+            steal_a = _steal_jiffies() - steal0
+            attempts.append(
+                {"value": total_a, "steal_jiffies": steal_a, "cpu_probe_sec": probe_a}
+            )
+            clean = 0 <= steal_a < STEAL_GATE and probe_a < PROBE_GATE
+            if clean or not best or total_a < best["total"]:
+                best = {
+                    "timings": timings_a,
+                    "rows": rows_a,
+                    "total": total_a,
+                    "steal": steal_a,
+                    "probe": probe_a,
+                    "accepted": clean,
+                }
+            if clean:
+                break
+            print(
+                f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — retrying",
+                file=sys.stderr,
+            )
+        best["attempts"] = attempts
+        return best
+
+    main_run = gated_block(sf_dir)
+    timings = main_run["timings"]
+    total = main_run["total"]
+    steal_main = main_run["steal"]
+    probe = main_run["probe"]
+    accepted = main_run["accepted"]
+    attempts = main_run["attempts"]
 
     # ---- scale check: same headline set at 10x (see docstring) ----
     scale_check = None
@@ -169,11 +199,12 @@ def main() -> None:
                 print(f"# scale-data generation failed: {exc}", file=sys.stderr)
                 sf1_dir = None
         if sf1_dir and os.path.isdir(sf1_dir):
-            steal_sc0 = _steal_jiffies()
-            sc_timings, sc_total = run_block(sf1_dir)
+            sc = gated_block(sf1_dir)
+            sc_timings, sc_rows = sc["timings"], sc["rows"]
+            main_rows = main_run["rows"]
             scale_check = {
                 "sf": 1.0,
-                "value": sc_total,
+                "value": sc["total"],
                 "unit": "sec",
                 "queries": sc_timings,
                 "ratio_vs_main": {
@@ -184,7 +215,26 @@ def main() -> None:
                     )
                     for n in sc_timings
                 },
-                "steal_jiffies": _steal_jiffies() - steal_sc0,
+                # Output-row ratio at 10x data: wall ratios are only
+                # interpretable next to these — a pair-generating query
+                # whose OUTPUT grows superlinearly (e.g. near-dup pairs)
+                # is allowed superlinear wall from result volume alone.
+                "output_ratio_vs_main": {
+                    n: (
+                        round(sc_rows[n] / main_rows[n], 1)
+                        if main_rows.get(n, 0) > 0 and sc_rows[n] >= 0
+                        else None
+                    )
+                    for n in sc_rows
+                },
+                "steal_jiffies": sc["steal"],
+                "cpu_probe_sec": sc["probe"],
+                "noise_gate": {
+                    "steal_gate": STEAL_GATE,
+                    "probe_gate_sec": PROBE_GATE,
+                    "accepted": sc["accepted"],
+                    "attempts": sc["attempts"],
+                },
             }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
