@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
+from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..sources import load
 from .jaccard import JACCARD_THRESHOLD, SQL_SHINGLES, shingle_rows
@@ -209,6 +210,6 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session outlives this query; pinned caches would accumulate).
     # A driver collect() here would be a scale bug: at 100 TB the
     # verified near-dup pair set is not driver-sized.
-    out = out.localCheckpoint(eager=True)
+    out = result_checkpoint(out)
     sh.unpersist()
     return out

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fixed_avg, sql_fixed_avg
+from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..sources import load
 
@@ -95,7 +96,7 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bloom_join_scope(spark):
         # Force planning + execution inside the conf scope; the rollup
         # is 2 rows, so the localCheckpoint materialization is trivial.
-        return build_bloom_join(spark, sf_dir).localCheckpoint(eager=True)
+        return result_checkpoint(build_bloom_join(spark, sf_dir))
 
 
 query(

@@ -75,12 +75,16 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.functions.arrayqueries",
         "big_data_competition_dxc_spark.similarity.pandas_path",
         "big_data_competition_dxc_spark.textops.chunking",
-        # transformWithStateInPandas (the newer typed-state API) was
-        # attempted and works in code review but NOT in this container:
-        # its driver worker needs google.protobuf, which is absent here
-        # (ImportError: cannot import name 'descriptor'). The older
-        # applyInPandasWithState operator (streaming/stateful.py)
-        # covers custom stateful streaming instead.
+        # transformWithStateInPandas (the current typed-state API) is
+        # implemented in streaming/typed_state.py but self-gates on
+        # `import google.protobuf`: PySpark 4.1.2 ships the full API,
+        # yet its state-server wire protocol is protobuf-based and this
+        # container has no protobuf (execution dies with ImportError:
+        # cannot import name 'descriptor'). The module registers its
+        # query, and its test activates, the moment the runtime image
+        # gains the dependency; applyInPandasWithState
+        # (streaming/stateful.py) is the always-available path.
+        "big_data_competition_dxc_spark.streaming.typed_state",
         # --- relational core (driver-verified green in rounds 1-2) ---
         "big_data_competition_dxc_spark.operators.joins",
         "big_data_competition_dxc_spark.operators.lags",

@@ -320,3 +320,34 @@ def test_udtf_chunks_reassemble(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_typed_state_matches_batch_aggregate(spark):
+    """transformWithStateInPandas (typed-state API) — auto-activates
+    when the runtime image gains google.protobuf (the state-server wire
+    protocol's dependency; see streaming/typed_state.py). One
+    availableNow microbatch => the emitted updates must equal the batch
+    per-user aggregate exactly."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from big_data_competition_dxc_spark.functions.rounding import fixed_sum
+    from big_data_competition_dxc_spark.streaming.typed_state import (
+        typed_state_user_totals,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in typed_state_user_totals(spark, SF_TEST_DIR).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load(spark, SF_TEST_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            fixed_sum(F.col("value"), 2, 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want

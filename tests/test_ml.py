@@ -119,17 +119,19 @@ def test_stratified_sample_fractions(spark):
 
 def test_approx_distinct_within_rsd(spark):
     [r] = _run("approx_distinct_check", spark).collect()
-    # rsd=0.02 -> generous 3-sigma-ish bound
-    assert r["rel_err_users"] < 0.06
-    assert r["rel_err_events"] < 0.06
+    # the published contract: Spark's own sketch within the documented
+    # bound of the exact counts (the oracle asserts the same for DuckDB)
+    assert r["users_within_bound"] is True
+    assert r["events_within_bound"] is True
+    assert r["exact_users"] > 0 and r["exact_events"] > 0
 
 
 def test_approx_quantile_within_accuracy(spark):
     [r] = _run("approx_quantile_check", spark).collect()
-    # accuracy=10000 -> rank error <= 1e-4; on a smooth price
-    # distribution that is far inside 1% relative value error
-    assert r["rel_err_p50"] < 0.01
-    assert r["rel_err_p99"] < 0.01
+    # accuracy=10000 -> rank error <= 1e-4, far inside the published
+    # p±0.005 rank window (the oracle asserts the same for DuckDB)
+    assert r["p50_within_rank_eps"] is True
+    assert r["p99_within_rank_eps"] is True
     assert r["exact_p50"] <= r["exact_p99"]
 
 
