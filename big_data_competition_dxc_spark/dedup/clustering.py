@@ -137,6 +137,68 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _component_assignment(spark, sf_dir)
 
 
+_CANONICAL_ORACLE = (
+    _COMPONENTS_CLOSURE
+    + """
+, fam AS (
+  SELECT component_id FROM assignment
+  GROUP BY component_id HAVING COUNT(*) >= 2
+),
+members AS (
+  SELECT a.component_id, a.doc_id, d.n_chars
+  FROM assignment a
+  JOIN fam f ON f.component_id = a.component_id
+  JOIN documents d ON d.doc_id = a.doc_id
+),
+ranked AS (
+  SELECT component_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM members
+)
+SELECT component_id, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       rn = 1 AS keep
+FROM ranked
+"""
+)
+
+
+@query(
+    "neardup_canonical_keep",
+    oracle=_CANONICAL_ORACLE,
+    tags=("dedup", "clustering", "graph", "W4"),
+)
+def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based canonical selection per multi-document near-dup
+    family: keep the member with the most content (n_chars DESC, doc_id
+    tie-break), drop the rest — the keep/drop decision list a curation
+    pipeline actually applies (min-id canonicalization keeps an
+    ARBITRARY copy; real pipelines keep the best one). One window over
+    the family members joined to a quality column; singleton families
+    are excluded (nothing to drop)."""
+    from pyspark.sql import Window
+
+    comp = _component_assignment(spark, sf_dir)
+    fam = (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("component_id")
+    )
+    quality = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comp.join(fam, "component_id").join(quality, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return members.select(
+        "component_id",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 @query(
     "neardup_component_stats",
     oracle=_STATS_ORACLE,

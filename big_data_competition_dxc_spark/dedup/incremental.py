@@ -1,0 +1,163 @@
+"""Incremental (delta-vs-corpus) near-dup dedup — the daily-ingest shape.
+
+Every dedup operator in this package is WITHIN-corpus (all-pairs over
+one snapshot). Production pipelines at 100 TB almost never re-dedup the
+whole corpus: they dedup each ingest DELTA against the existing corpus
+index. This operator is that shape on the fixture: a deterministic ~10%
+hash slice of `documents` plays the incoming delta, the remaining ~90%
+plays the indexed corpus, and the join is STRICTLY delta-bands ×
+corpus-bands — corpus×corpus pairs are never generated, so per-ingest
+cost is O(|delta| × band collision rate), independent of corpus size
+beyond the index probe. Per delta doc the output is the ingest decision
+a pipeline acts on: how many corpus near-dups it has and its best match
+(highest verified Jaccard, doc-id tie-break) — NULL when the doc is
+novel.
+
+At real scale the corpus side of this join is a PRECOMPUTED band index
+stored bucketed by (band, band_key) (operators/bucketing.py is the
+write side of that layout), so the probe is a co-located join with no
+corpus shuffle; the fixture derivation recomputes it inline because the
+driver's tables are read-only. The delta/corpus split itself is a
+narrow per-row hash predicate on the band frame — no split join at all.
+
+Reuses minhash.py's portable signature/banding machinery verbatim (same
+NUM_HASHES/NUM_BANDS family, same md5 base), so candidate recall
+matches the batch pipeline: a doc deduped incrementally sees the same
+band keys it would have seen in the full run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bigint, sql_md5_bigint
+from ..functions.rounding import round_to, sql_round
+from ..plans.checkpointing import result_checkpoint
+from ..plans.registry import query
+from ..sources import load
+from .jaccard import JACCARD_THRESHOLD, shingle_rows
+from .minhash import _band_rows, _bands_sql, _signature, _signature_sql
+
+DELTA_MOD = 10  # md5(doc_id) % DELTA_MOD == 0 -> the ~10% ingest delta
+
+_IS_DELTA_SQL = f"{sql_md5_bigint('CAST(doc_id AS VARCHAR)')} % {DELTA_MOD} = 0"
+
+_INCREMENTAL_ORACLE = f"""
+WITH {_signature_sql()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT d.doc_id AS doc_d, c.doc_id AS doc_c
+  FROM bands d JOIN bands c
+    ON d.band = c.band AND d.band_key = c.band_key AND d.doc_id <> c.doc_id
+  WHERE ({_IS_DELTA_SQL.replace('doc_id', 'd.doc_id')})
+    AND NOT ({_IS_DELTA_SQL.replace('doc_id', 'c.doc_id')})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_d, c.doc_c, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_d
+  JOIN sh y ON y.doc_id = c.doc_c AND y.s = x.s
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT i.doc_d, i.doc_c,
+         {sql_round("i.i * 1.0 / (sd.n + sc.n - i.i)", 4)} AS jaccard
+  FROM inter i
+  JOIN sizes sd ON i.doc_d = sd.doc_id
+  JOIN sizes sc ON i.doc_c = sc.doc_id
+  WHERE i.i * 1.0 / (sd.n + sc.n - i.i) >= {JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT doc_d, doc_c, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_d
+                            ORDER BY jaccard DESC, doc_c) AS rn
+  FROM ver
+),
+agg AS (
+  SELECT doc_d, COUNT(*) AS n_matches FROM ver GROUP BY doc_d
+)
+SELECT dd.doc_id,
+       CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_corpus_matches,
+       CAST(b.doc_c AS BIGINT) AS best_match,
+       b.jaccard AS best_jaccard
+FROM (SELECT doc_id FROM documents WHERE {_IS_DELTA_SQL}) dd
+LEFT JOIN agg a ON a.doc_d = dd.doc_id
+LEFT JOIN best b ON b.doc_d = dd.doc_id AND b.rn = 1
+"""
+
+
+@query(
+    "incremental_minhash_dedup",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("dedup", "minhash", "cdc", "J8"),
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per delta document (the ~10% hash slice): number of verified
+    corpus near-dups (Jaccard >= {JACCARD_THRESHOLD} on LSH survivors)
+    and the best corpus match — NULLs when the doc is novel. Only
+    delta-bands probe corpus-bands; the corpus never self-joins."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).cache()  # feeds signature + both verify sides
+    bands = _band_rows(_signature(sh)).withColumn(
+        "is_delta", md5_bigint(F.col("doc_id").cast("string")) % DELTA_MOD == 0
+    )
+    d = bands.filter(F.col("is_delta")).alias("d")
+    c = bands.filter(~F.col("is_delta")).alias("c")
+    cand = (
+        d.join(
+            c,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("d.doc_id").alias("doc_d"), F.col("c.doc_id").alias("doc_c"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_d"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_c")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_d", "doc_c")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * F.lit(1.0) / (F.col("nd") + F.col("nc") - F.col("i"))
+    ver = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_d"), F.col("n").alias("nd")), "doc_d")
+        .join(sizes.select(F.col("doc_id").alias("doc_c"), F.col("n").alias("nc")), "doc_c")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_d", "doc_c", round_to(jac, 4).alias("jaccard"))
+    )
+    w = Window.partitionBy("doc_d").orderBy(F.col("jaccard").desc(), F.col("doc_c"))
+    best = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_d",
+            F.col("doc_c").alias("best_match"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    agg = ver.groupBy("doc_d").agg(F.count("*").alias("n_matches"))
+    delta_ids = docs.select("doc_id").filter(
+        md5_bigint(F.col("doc_id").cast("string")) % DELTA_MOD == 0
+    )
+    out = (
+        delta_ids.join(agg, delta_ids.doc_id == agg.doc_d, "left")
+        .drop("doc_d")
+        .join(best, delta_ids.doc_id == best.doc_d, "left")
+        .drop("doc_d")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_corpus_matches"),
+            F.col("best_match").cast("bigint"),
+            "best_jaccard",
+        )
+    )
+    # same session hygiene as minhash_dedup_verified: materialize the
+    # small per-delta-doc decision frame while the shingle cache is hot,
+    # then release the cache
+    out = result_checkpoint(out)
+    sh.unpersist()
+    return out

@@ -37,6 +37,9 @@ def load_all() -> None:
         # --- previously driver-unverified surface (round-3 reorder) ---
         "big_data_competition_dxc_spark.dedup.exact",
         "big_data_competition_dxc_spark.dedup.minhash",
+        "big_data_competition_dxc_spark.dedup.incremental",
+        "big_data_competition_dxc_spark.textops.vocab",
+        "big_data_competition_dxc_spark.similarity.centroids",
         "big_data_competition_dxc_spark.dedup.simhash",
         "big_data_competition_dxc_spark.dedup.jaccard",
         "big_data_competition_dxc_spark.similarity.cosine",

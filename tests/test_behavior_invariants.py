@@ -160,3 +160,72 @@ def test_integrity_audit_is_clean_on_fixture(spark):
     assert len(rows) == 7
     assert all(r.n_orphans == 0 for r in rows)
     assert all(r.n_child_rows >= r.n_child_keys > 0 for r in rows)
+
+
+def test_incremental_dedup_delta_only(spark):
+    """Incremental dedup must report ONLY hash-delta docs, never a
+    corpus doc, and every best_match must be a corpus (non-delta) doc
+    with a Jaccard at or above the verification threshold."""
+    from big_data_competition_dxc_spark.dedup.incremental import DELTA_MOD
+    from big_data_competition_dxc_spark.dedup.jaccard import JACCARD_THRESHOLD
+    from big_data_competition_dxc_spark.functions.hashing import md5_bigint
+
+    rows = _df("incremental_minhash_dedup", spark).collect()
+    assert rows
+    docs = load(spark, SF_TEST_DIR, "documents")
+    delta = {
+        r.doc_id
+        for r in docs.select("doc_id")
+        .filter(md5_bigint(F.col("doc_id").cast("string")) % DELTA_MOD == 0)
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == delta  # exactly the delta slice
+    for r in rows:
+        if r.n_corpus_matches == 0:
+            assert r.best_match is None and r.best_jaccard is None
+        else:
+            assert r.best_match not in delta  # matches come from corpus only
+            assert r.best_jaccard >= JACCARD_THRESHOLD
+
+
+def test_canonical_keep_one_per_family(spark):
+    """Exactly one kept member per near-dup family, and the kept member
+    maximizes (n_chars, then lowest doc_id) within its family."""
+    rows = _df("neardup_canonical_keep", spark).collect()
+    assert rows
+    by_fam = {}
+    for r in rows:
+        by_fam.setdefault(r.component_id, []).append(r)
+    for fam, members in by_fam.items():
+        assert len(members) >= 2  # singleton families are excluded
+        kept = [m for m in members if m.keep]
+        assert len(kept) == 1
+        best = min(members, key=lambda m: (-m.n_chars, m.doc_id))
+        assert kept[0].doc_id == best.doc_id
+
+
+def test_bpe_pairs_are_two_chars(spark):
+    """Every reported pair is exactly two characters, counts are
+    positive and ordered, and the most frequent pair's count matches a
+    direct recount over the corpus."""
+    rows = _df("bpe_pair_counts", spark).collect()
+    assert rows
+    assert all(len(r.pair) == 2 and r.n > 0 for r in rows)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    top = rows[0]
+    recount = (
+        load(spark, SF_TEST_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .filter(F.col("pair") == top.pair)
+        .count()
+    )
+    assert recount == top.n
