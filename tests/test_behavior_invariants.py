@@ -229,3 +229,39 @@ def test_bpe_pairs_are_two_chars(spark):
         .count()
     )
     assert recount == top.n
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """The pruning law z-order exists for: under a shipdate-only sort
+    the part extent of nearly every file spans the full grid (no
+    pruning on part predicates); under z-order the MEAN extent of BOTH
+    dimensions must be a small fraction of the grid."""
+    from pyspark.sql import Window
+
+    from big_data_competition_dxc_spark.operators.zorder import FILES, GRID
+
+    rows = _df("zorder_layout_audit", spark).collect()
+    assert len(rows) == FILES
+    mean_part = sum(r.part_extent for r in rows) / len(rows)
+    mean_date = sum(r.date_extent for r in rows) / len(rows)
+    assert mean_part <= GRID / 2, mean_part
+    assert mean_date <= GRID / 2, mean_date
+
+    # the single-column-sort counterfactual, same bucketing, same files
+    li = load(spark, SF_TEST_DIR, "lineitem")
+    wx = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    wy = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    date_sorted = (
+        li.select(
+            (F.ntile(GRID).over(wx) - 1).alias("bx"),
+            F.ntile(FILES).over(wy).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg((F.max("bx") - F.min("bx") + 1).alias("part_extent"))
+        .collect()
+    )
+    mean_part_datesorted = sum(r.part_extent for r in date_sorted) / len(date_sorted)
+    assert mean_part < mean_part_datesorted / 2, (
+        f"z-order part extent {mean_part} should be far below the "
+        f"date-sorted layout's {mean_part_datesorted}"
+    )
