@@ -170,9 +170,16 @@ def test_incremental_dedup_delta_only(spark):
     from big_data_competition_dxc_spark.dedup.jaccard import JACCARD_THRESHOLD
     from big_data_competition_dxc_spark.functions.hashing import md5_bigint
 
-    rows = _df("incremental_minhash_dedup", spark).collect()
+    # sf0.01, not the default sf0.001: the smallest fixture's delta
+    # slice happens to contain no near-dups, which would leave the
+    # positive-match branch of this test vacuous
+    sf_dir = "/root/testdata/sf0.01"
+    rows = plans.QUERIES["incremental_minhash_dedup"].fn(spark, sf_dir).collect()
     assert rows
-    docs = load(spark, SF_TEST_DIR, "documents")
+    assert any(r.n_corpus_matches > 0 for r in rows), (
+        "fixture must exercise the positive-match branch"
+    )
+    docs = load(spark, sf_dir, "documents")
     delta = {
         r.doc_id
         for r in docs.select("doc_id")
