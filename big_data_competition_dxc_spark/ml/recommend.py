@@ -362,6 +362,14 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full ratings frame never shuffles on v
     scored = (
         F.broadcast(neigh).join(r.withColumnRenamed("user_id", "v"), "v")
+        # one exchange instead of two: hash-partitioning on user_id ALONE
+        # satisfies the aggregate's ClusteredDistribution(user_id,
+        # item_id) (a subset of the grouping keys co-locates every
+        # group) AND the final rank window's ClusteredDistribution
+        # (user_id) — without this, Spark exchanges on (user_id,
+        # item_id) for the aggregate and then AGAIN on user_id for the
+        # window
+        .repartition(F.col("u"))
         .groupBy(F.col("u").alias("user_id"), "item_id")
         # sim sits on a 4dp grid (rounded cosine), rating is integral, so
         # sim*rating units at dec=4 are exact — the weighted score ranks
