@@ -14,6 +14,13 @@ model outputs are not SQL-expressible and exact values are not
 guaranteed stable across Spark versions (SURVEY §7.4). Seeds pin OUR
 runs; the queries also self-validate (finite metrics, expected shapes)
 in tests/test_ml.py.
+
+Outputs are SCALAR-ONLY by contract even though these are rows-only
+queries: the driver's canonicalizer cannot handle array cells (the
+round-3 multimodal `err` was exactly this — pandas sort_values raising
+"unhashable type: 'list'"), so the vector columns are published as one
+named scalar column per component (the dimensionalities are fixed
+constants of each operator).
 """
 
 from __future__ import annotations
@@ -53,7 +60,10 @@ def ml_features_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(arr, lambda x: round_to(x, 4)).alias("scaled_features"),
+        *[
+            round_to(arr[i], 4).alias(f"scaled_{c.removeprefix('l_')}")
+            for i, c in enumerate(FEATURE_COLS)
+        ],
     )
 
 
@@ -75,5 +85,5 @@ def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(emb).select(
         "vec_id",
         "label",
-        F.transform(arr, lambda x: round_to(x, 4)).alias("pca_features"),
+        *[round_to(arr[i], 4).alias(f"pc{i}") for i in range(8)],
     )

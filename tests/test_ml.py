@@ -18,15 +18,35 @@ def _run(name, spark):
 
 
 def test_features_scaled(spark):
-    rows = _run("ml_features_scaled", spark).collect()
+    df = _run("ml_features_scaled", spark)
+    # scalar-only contract (driver canonicalizer rejects array cells)
+    assert all(f.dataType.typeName() == "double" for f in df.schema.fields[2:])
+    rows = df.collect()
     assert len(rows) > 0
-    assert all(len(r["scaled_features"]) == 4 for r in rows[:20])
+    scaled_cols = df.columns[2:]
+    assert len(scaled_cols) == 4
+    for r in rows[:20]:
+        assert all(r[c] is not None for c in scaled_cols)
+    # z-scored columns: mean ~0 over the whole frame
+    import math
+
+    for c in scaled_cols:
+        mean = sum(r[c] for r in rows) / len(rows)
+        assert math.isfinite(mean) and abs(mean) < 0.01
 
 
 def test_pca_embeddings(spark):
-    rows = _run("ml_pca_embeddings", spark).collect()
+    df = _run("ml_pca_embeddings", spark)
+    pc_cols = [c for c in df.columns if c.startswith("pc")]
+    assert len(pc_cols) == 8
+    assert all(
+        f.dataType.typeName() == "double"
+        for f in df.schema.fields
+        if f.name in pc_cols
+    )
+    rows = df.collect()
     assert len(rows) > 0
-    assert all(len(r["pca_features"]) == 8 for r in rows[:20])
+    assert all(r[c] is not None for r in rows[:20] for c in pc_cols)
 
 
 def test_linear_regression_battery(spark):
