@@ -270,6 +270,9 @@ _SHUFFLE_BUDGETS = {
     "pivot_multi_measure": 2,          # pivot partial/final pair on ds
     "table_checksum_audit": 2,         # one single-row agg per fingerprinted table
     "mode_median_stats": 3,            # value counts + modal window + stats agg
+    "bpe_pair_counts": 1,              # one map-side-combined pair agg; top-k is TakeOrdered
+    "embedding_label_centroids": 3,    # per-vec agg + (label,dim) agg + label join
+    "zorder_layout_audit": 1,          # all three global windows share one exchange
 }
 
 
