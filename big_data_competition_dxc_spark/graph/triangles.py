@@ -1,0 +1,158 @@
+"""Triangle counting + global clustering coefficient, degree-oriented.
+
+The third graph primitive beside PageRank (centrality) and connected
+components (clustering): triangle statistics measure local cohesion —
+the global clustering coefficient 3T/W (triangles over wedges) is the
+standard "how clique-like is this graph" monitor. Graph: the same
+supplier co-supply projection as pagerank.py (suppliers linked when
+they ship lines of the same order).
+
+The scale trick is DEGREE ORIENTATION (Suri & Vassilvitskii, WWW'11):
+orient every undirected edge from its lower-(degree, id) endpoint to
+the higher one. The orientation is acyclic and bounds every node's
+OUT-degree by O(sqrt(m)) however skewed the raw degree distribution
+is, so the pivot self-join (pairs of out-neighbors) — the step a
+naive per-node neighbor-pairing blows up on for hub nodes — has
+per-node fanout C(outdeg, 2) = O(m) total instead of O(Σdeg²). Every
+triangle is counted EXACTLY once, at its minimum-rank vertex, which is
+also what makes the count portable: no /3 or /6 correction, no
+overcount semantics to match.
+
+Everything is exact integer arithmetic (counts, floor-div micro-unit
+coefficient), so the single summary row hash-matches DuckDB running
+the identical orientation + joins.
+
+Scale notes (100 TB): edge projection shuffles on orderkey (bounded
+per-order fanout); degrees are one map-side-combinable aggregate; the
+two triangle joins shuffle on node keys with orientation-bounded
+fanout. No iteration, no driver loop — one lazy plan.
+
+Fixture caveat: the small-SF co-supply graph is COMPLETE (every
+supplier pair shares some order), so clustering_micro reads 1e6 there
+— the oracle still exercises every join exactly (the counts are
+C(n,3)/ΣC(d,2), verified against a brute-force triple join in tests),
+and the degree orientation becomes load-bearing on any graph with
+degree skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load
+from .pagerank import _PAIRS_SQL
+
+MICRO = 1_000_000
+
+_TRIANGLES_ORACLE = f"""
+WITH pairs AS ({_PAIRS_SQL}),
+und AS (SELECT src AS u, dst AS v FROM pairs WHERE src < dst),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM o e1
+  JOIN deg d1 ON d1.node = e1.b
+  JOIN o e2 ON e2.a = e1.a
+  JOIN deg d2 ON d2.node = e2.b
+  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+  WHERE (d1.d < d2.d) OR (d1.d = d2.d AND e1.b < e2.b)
+),
+w AS (SELECT SUM((d * (d - 1)) // 2) AS wedges FROM deg)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT wedges FROM w) AS BIGINT) AS n_wedges,
+       CAST(CASE WHEN (SELECT wedges FROM w) = 0 THEN 0
+            ELSE (3 * (SELECT t FROM tri) * {MICRO})
+                 // (SELECT wedges FROM w) END AS BIGINT)
+         AS clustering_micro
+"""
+
+
+@query(
+    "triangle_count_cosupply",
+    oracle=_TRIANGLES_ORACLE,
+    tags=("graph", "A1", "J2", "scale"),
+)
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One summary row over the co-supply graph: nodes, undirected
+    edges, triangles (each counted once at its min-(degree, id)
+    vertex), wedges Σ C(deg,2), and the global clustering coefficient
+    3T/W in exact integer micro-units."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = o.select(F.col("a"), F.col("b").alias("b1")).join(
+        deg.select(F.col("node").alias("b1"), F.col("d").alias("d1")), "b1"
+    )
+    e2 = o.select(F.col("a"), F.col("b").alias("b2")).join(
+        deg.select(F.col("node").alias("b2"), F.col("d").alias("d2")), "b2"
+    )
+    pivot_pairs = e1.join(e2, "a").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    )
+    closed = pivot_pairs.join(
+        o.select(F.col("a").alias("b1"), F.col("b").alias("b2")), ["b1", "b2"]
+    )
+    tri = closed.agg(F.count("*").alias("t"))
+    wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("wedges")
+    )
+    counts = und.agg(F.count("*").alias("n_edges")).join(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        counts.join(tri)
+        .join(wedges)
+        .select(
+            F.col("n_nodes").cast("bigint"),
+            F.col("n_edges").cast("bigint"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+            F.col("wedges").cast("bigint").alias("n_wedges"),
+            F.when(F.col("wedges") == 0, F.lit(0))
+            .otherwise(F.expr(f"(3 * t * {MICRO}) div wedges"))
+            .cast("bigint")
+            .alias("clustering_micro"),
+        )
+    )

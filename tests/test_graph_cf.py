@@ -98,3 +98,39 @@ def test_outer_attribution_supersets_inner(spark):
     null_ids = {r.purchase_id for r in nulls}
     assert null_ids.isdisjoint({r.purchase_id for r in matched})
     assert len(ids) == len(null_ids) + len({r.purchase_id for r in matched})
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """The degree-oriented count must equal the naive sorted-triple
+    triple-join (each triangle once), and the wedge/coefficient algebra
+    must be self-consistent."""
+    from big_data_competition_dxc_spark.sources import load
+
+    [r] = plans.QUERIES["triangle_count_cosupply"].fn(spark, SF_TEST_DIR).collect()
+    li = load(spark, SF_TEST_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    brute = (
+        e1.join(
+            e2,
+            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert r.n_triangles == brute
+    assert r.n_edges == und.count()
+    if r.n_wedges > 0:
+        assert r.clustering_micro == (3 * r.n_triangles * 1_000_000) // r.n_wedges

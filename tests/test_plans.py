@@ -131,6 +131,7 @@ _BNLJ_OK = {
     "q22_idle_rich_customers",  # 1-row balance-threshold scalar attach
     "lm_bigram_cross_entropy",  # 1-row vocabulary-size scalar attach
     "temperature_mixture_rates",  # 1-row corpus-totals scalar attach
+    "triangle_count_cosupply",  # 1-row nodes/edges/tri/wedge scalar attaches
 }
 # (negative_sample_pairs' broadcast cross join needs no entry: its ML
 # tag already excludes it from the audit, like the other ML queries)
