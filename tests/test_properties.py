@@ -217,3 +217,37 @@ def test_table_checksum_order_independent(spark, rows, parts_a, parts_b):
     b = checksum(base.repartition(parts_b, "s"))
     c = checksum(base.orderBy(F.desc("k")))
     assert a == b == c
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.text(min_size=0, max_size=60),
+            st.text(alphabet="0123456789abcdef:", min_size=1, max_size=40),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_md5_bigint_matches_duckdb(spark, texts):
+    """The parity-critical portable-hash idiom (functions/hashing.py):
+    Spark conv(substr(md5(s),1,15),16,10) must equal DuckDB
+    ('0x'||substr(md5(s),1,15))::BIGINT for arbitrary unicode strings —
+    every dedup/sampling/rotation split in the engine rides on this."""
+    from big_data_competition_dxc_spark.functions.hashing import (
+        md5_bigint,
+        sql_md5_bigint,
+    )
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r[0] for r in sdf.select(md5_bigint(F.col("s"))).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {sql_md5_bigint('?::VARCHAR')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert got == want
+    assert all(v >= 0 for v in got)  # 60 bits: never negative
