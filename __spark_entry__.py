@@ -54,6 +54,11 @@ def _rotation_order() -> list[str]:
                 records = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(records, dict):
+            # a truncated/legacy file (e.g. a bare list of names) must
+            # degrade to "unknown history", never crash the driver's
+            # queries() entry point
+            continue
         for name, rec in records.items():
             # rows-only queries record the sentinel err='no_oracle' on a
             # SUCCESSFUL run (spark_rows non-null) — only a real

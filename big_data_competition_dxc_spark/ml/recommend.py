@@ -210,18 +210,20 @@ _COS_PAIRS_SQL = f"""
 # and knn_user_recommend both consume it, and in a driver/test session
 # they run back-to-back — without the memo the second query rebuilds the
 # whole capped self-join pipeline from scratch. Keyed by (session, data
-# dir); the memoized frame is .cache()d (NOT checkpointed: bench's
-# between-query block release must stay survivable — a cache recomputes,
-# a truncated-lineage checkpoint cannot).
+# dir), which is sound ONLY because _user_cosine_pairs always derives
+# its ratings from the canonical full derivation (it takes no ratings
+# parameter — a caller wanting pairs over a filtered split must build
+# them itself, as ml/ranking_eval.py does with the itemcf helpers). The
+# memoized frame is .cache()d (NOT checkpointed: bench's between-query
+# block release must stay survivable — a cache recomputes, a
+# truncated-lineage checkpoint cannot).
 _PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
-def _user_cosine_pairs(
-    spark: SparkSession, sf_dir: str, r: DataFrame | None = None
-) -> DataFrame:
-    """Sparse user-user cosine: shared-item self-join -> exact integer
-    dot products -> normalize. Returns (u, v, sim, rn) ranked per u.
-    Pass a cached ratings frame to avoid re-deriving it per use site.
+def _user_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse user-user cosine over the canonical ratings derivation:
+    shared-item self-join -> exact integer dot products -> normalize.
+    Returns (u, v, sim, rn) ranked per u, memoized per (session, dir).
 
     The self-join's wide side is pre-pruned twice: first to the items
     the query users rated (a semi-join that commutes with the per-item
@@ -242,8 +244,7 @@ def _user_cosine_pairs(
         hit = _PAIRS_MEMO.get(memo_key)
         if hit is not None:
             return hit
-    if r is None:
-        r = ratings(spark, sf_dir)
+    r = ratings(spark, sf_dir)
     norms = r.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
     )
@@ -349,11 +350,12 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML9 steps 2-3 (D:17-21): similarity-weighted accumulated scores
     from the top-{K_NEIGHBORS} neighbors' ratings, already-rated items
     excluded (anti-join, D:21), top-{TOPK_RECS} per user."""
-    # the ratings frame feeds the similarity self-join, the neighbor
-    # ratings, and the anti-join — cache it once (S8)
+    # the ratings frame feeds the neighbor ratings and the anti-join —
+    # cache it once (S8); the similarity frame itself comes from the
+    # session memo (its own cache) rather than sharing this one
     r = ratings(spark, sf_dir).cache()
     neigh = (
-        _user_cosine_pairs(spark, sf_dir, r)
+        _user_cosine_pairs(spark, sf_dir)
         .filter(F.col("rn") <= K_NEIGHBORS)
         .select("u", "v", "sim")
     )

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import fixed_avg, sql_fixed_avg
-from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..sources import load
 
@@ -96,7 +95,13 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bloom_join_scope(spark):
         # Force planning + execution inside the conf scope; the rollup
         # is 2 rows, so the localCheckpoint materialization is trivial.
-        return result_checkpoint(build_bloom_join(spark, sf_dir))
+        # Deliberately NOT result_checkpoint: the audit-mode no-op would
+        # defer planning until after the scope's finally-block restores
+        # the bloom confs, and the audited plan would silently lose the
+        # might_contain filter. This query's real (in-scope) plan is
+        # pinned by tests/test_plans.py::test_bloom_filter_injected,
+        # which explains inside the scope.
+        return build_bloom_join(spark, sf_dir).localCheckpoint(eager=True)
 
 
 query(

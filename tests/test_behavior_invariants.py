@@ -172,8 +172,13 @@ def test_incremental_dedup_delta_only(spark):
 
     # sf0.01, not the default sf0.001: the smallest fixture's delta
     # slice happens to contain no near-dups, which would leave the
-    # positive-match branch of this test vacuous
-    sf_dir = "/root/testdata/sf0.01"
+    # positive-match branch of this test vacuous. Derived from
+    # SF_TEST_DIR so an env-relocated fixture tree still resolves.
+    import os
+
+    sf_dir = os.path.join(os.path.dirname(SF_TEST_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"sibling sf0.01 fixture not present at {sf_dir}")
     rows = plans.QUERIES["incremental_minhash_dedup"].fn(spark, sf_dir).collect()
     assert rows
     assert any(r.n_corpus_matches > 0 for r in rows), (
