@@ -336,6 +336,50 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xml_roundtrip_source",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_fixed_sum('o_totalprice', 2, 2)} AS total_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("S1", "S4", "xml"),
+)
+def xml_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 widened to Spark 4's NATIVE XML source (rowTag-based, no
+    external package — the format enterprise feeds still arrive in):
+    orders exported as <row> elements, re-ingested with an EXPLICIT
+    schema (XML schema inference costs a full extra pass at 100 TB,
+    same argument as JSON), rolled up; the oracle aggregates the
+    pristine parquet, so any write/read fidelity loss — type coercion,
+    escaping, null handling — breaks the hash. At scale XML is an
+    INGEST format only: the first job rewrites it columnar, because a
+    rowTag text scan supports neither column pruning nor predicate
+    pushdown."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="xml_rt_")
+    orders.write.mode("overwrite").format("xml").option("rowTag", "row").save(out)
+    back = (
+        spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .format("xml")
+        .option("rowTag", "row")
+        .load(out)
+    )
+    agg = back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+    )
+    rows = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, total_price double"
+    )
+
+
+@query(
     "schema_evolution_merge",
     oracle=f"""
 WITH unified AS (
