@@ -42,6 +42,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.similarity.centroids",
         "big_data_competition_dxc_spark.operators.zorder",
         "big_data_competition_dxc_spark.graph.triangles",
+        "big_data_competition_dxc_spark.functions.arrow_path",
         "big_data_competition_dxc_spark.dedup.simhash",
         "big_data_competition_dxc_spark.dedup.jaccard",
         "big_data_competition_dxc_spark.similarity.cosine",

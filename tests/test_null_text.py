@@ -22,7 +22,11 @@ from test_oracle_parity import _rowset
 
 plans.load_all()
 
-EDGE_QUERIES = ["udtf_word_chunks", "span_corruption_pairs"]
+EDGE_QUERIES = [
+    "udtf_word_chunks",
+    "span_corruption_pairs",
+    "mapinarrow_token_stats",  # NULL propagation + UTF-8 byte lengths
+]
 
 
 @pytest.fixture(scope="module")
@@ -36,6 +40,7 @@ def edge_dir(tmp_path_factory):
             (0::BIGINT, NULL::VARCHAR, 'en', 'src0', NULL::BIGINT),
             (1::BIGINT, ''::VARCHAR, 'en', 'src0', 0::BIGINT),
             (2::BIGINT, 'one'::VARCHAR, 'de', 'src1', 3::BIGINT),
+            (4::BIGINT, 'héllo wörld 数据 引擎'::VARCHAR, 'zh', 'src3', 16::BIGINT),
             (3::BIGINT, 'a b c d e f g h i j k l m n o p q r s t u v'::VARCHAR,
              'es', 'src2', 43::BIGINT)
           ) AS t(doc_id, text, lang, source, n_chars)
