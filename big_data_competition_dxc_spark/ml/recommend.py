@@ -206,18 +206,39 @@ _COS_PAIRS_SQL = f"""
 """
 
 
-# Session-scoped memo of the ranked similarity frame: knn_user_neighbors
-# and knn_user_recommend both consume it, and in a driver/test session
-# they run back-to-back — without the memo the second query rebuilds the
-# whole capped self-join pipeline from scratch. Keyed by (session, data
-# dir), which is sound ONLY because _user_cosine_pairs always derives
-# its ratings from the canonical full derivation (it takes no ratings
-# parameter — a caller wanting pairs over a filtered split must build
-# them itself, as ml/ranking_eval.py does with the itemcf helpers). The
-# memoized frame is .cache()d (NOT checkpointed: bench's between-query
-# block release must stay survivable — a cache recomputes, a
-# truncated-lineage checkpoint cannot).
+# Session-scoped memos of the canonical ratings frame and the ranked
+# similarity frame: knn_user_neighbors and knn_user_recommend both
+# consume them, and in a driver/test session they run back-to-back —
+# without the memo the second query rebuilds the whole capped self-join
+# pipeline from scratch, and without the shared ratings frame a single
+# cold knn_user_recommend computes the orders⨝lineitem aggregation
+# twice (once for its own uses, once inside the pairs pipeline). Keyed
+# by (session, data dir), which is sound ONLY because both memos hold
+# the canonical full derivation (no parameters — a caller wanting a
+# filtered split builds its own frames, as ml/ranking_eval.py does with
+# the itemcf helpers). Memoized frames are .cache()d (NOT checkpointed:
+# bench's between-query block release must stay survivable — a cache
+# recomputes, a truncated-lineage checkpoint cannot) and live for the
+# session; a long-lived driver releases them with its normal
+# between-pipeline block cleanup (see bench.py's _release_leaked_state).
+_RATINGS_MEMO: dict[tuple[int, str], DataFrame] = {}
 _PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ratings frame, cached once per (session, dir).
+    In plan-audit mode (SPARK_GRAFT_NO_CHECKPOINT) returns the plain
+    uncached derivation so .explain shows the real pipeline."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT"):
+        return ratings(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    hit = _RATINGS_MEMO.get(key)
+    if hit is None:
+        hit = ratings(spark, sf_dir).cache()
+        _RATINGS_MEMO[key] = hit
+    return hit
 
 
 def _user_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +265,7 @@ def _user_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = _PAIRS_MEMO.get(memo_key)
         if hit is not None:
             return hit
-    r = ratings(spark, sf_dir)
+    r = cached_ratings(spark, sf_dir)
     norms = r.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
     )
@@ -350,10 +371,10 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML9 steps 2-3 (D:17-21): similarity-weighted accumulated scores
     from the top-{K_NEIGHBORS} neighbors' ratings, already-rated items
     excluded (anti-join, D:21), top-{TOPK_RECS} per user."""
-    # the ratings frame feeds the neighbor ratings and the anti-join —
-    # cache it once (S8); the similarity frame itself comes from the
-    # session memo (its own cache) rather than sharing this one
-    r = ratings(spark, sf_dir).cache()
+    # the ratings frame feeds the neighbor ratings, the anti-join, AND
+    # the pairs pipeline inside the memo — one shared session cache (S8)
+    # so a cold run aggregates orders⨝lineitem exactly once
+    r = cached_ratings(spark, sf_dir)
     neigh = (
         _user_cosine_pairs(spark, sf_dir)
         .filter(F.col("rn") <= K_NEIGHBORS)
@@ -388,9 +409,12 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK_RECS)
     )
     # localCheckpoint materializes the result ON THE EXECUTORS while the
-    # ratings cache is hot, then releases the cache — unlike a driver
-    # collect(), the recommendation set stays distributed (at 100 TB the
-    # per-user top-k across all users is not driver-sized)
+    # ratings cache is hot — unlike a driver collect(), the
+    # recommendation set stays distributed (at 100 TB the per-user
+    # top-k across all users is not driver-sized). The shared ratings
+    # cache is NOT unpersisted here: knn_user_neighbors' memoized pairs
+    # frame recomputes through it, and session-level block cleanup
+    # (bench.py's _release_leaked_state, or a real driver's
+    # between-pipeline hygiene) owns its lifetime.
     out = result_checkpoint(out)
-    r.unpersist()
     return out
