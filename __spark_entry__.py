@@ -38,17 +38,32 @@ def _rotation_order() -> list[str]:
     driver's independent check is the hard signal. Priority classes,
     derived from the recorded CORRECTNESS_r*.json history:
 
-    1. queries whose LATEST driver record is an error — a query whose
-       last audit-trail entry says `err` is indistinguishable from
-       broken no matter how green the local suite is, so a fix must be
-       re-proven by the driver before anything new is;
+    1. queries whose LATEST driver record is a FAILURE — either a real
+       `err` traceback or any of rows/schema/hash recorded False (the
+       round-5 q12 lesson: a hash mismatch with err=null is just as
+       red as a crash, and must be re-proven by the driver before
+       anything new is);
     2. queries the driver has never sampled;
-    3. everything already green, in registry order (stable, so the
-       window keeps rotating through the registry across rounds).
+    3. everything already green, LEAST-RECENTLY-checked first (registry
+       order as tie-break) — so the ~50-query window genuinely rotates
+       through the registry instead of re-sampling the same green head
+       every round.
+
+    "Latest" wins by NUMERIC round (CORRECTNESS_r10 sorts after _r9
+    even though it sorts before lexicographically).
     """
-    latest: dict[str, bool] = {}  # name -> latest recorded run errored
+    latest: dict[str, bool] = {}  # name -> latest recorded run failed
+    latest_round: dict[str, int] = {}  # name -> round of latest record
+
+    def _round_no(path: str) -> int:
+        stem = os.path.basename(path)
+        digits = "".join(ch for ch in stem if ch.isdigit())
+        return int(digits) if digits else -1
+
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             with open(path) as f:
                 records = json.load(f)
@@ -60,19 +75,38 @@ def _rotation_order() -> list[str]:
             # queries() entry point
             continue
         for name, rec in records.items():
+            if not isinstance(rec, dict):
+                latest[name] = True
+                continue
             # rows-only queries record the sentinel err='no_oracle' on a
             # SUCCESSFUL run (spark_rows non-null) — only a real
             # traceback/failure counts as stale-err.
-            latest[name] = (
-                isinstance(rec, dict)
-                and bool(rec.get("err"))
-                and rec.get("err") != "no_oracle"
+            errored = bool(rec.get("err")) and rec.get("err") != "no_oracle"
+            # any recorded False verdict is a failure; None (rows-only
+            # sentinel) is not.
+            mismatched = any(
+                rec.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
             )
+            latest[name] = errored or mismatched
+            latest_round[name] = _round_no(path)
+    # Queries whose published contract (result schema or oracle) changed
+    # since their last driver record: a green row from the OLD contract
+    # proves nothing about the new one, so they rank with stale-fail.
+    # Maintained by hand when a round edits a driver-green query.
+    contract_bumped = {
+        "q12_priority_by_linestatus",  # r6: sums CAST AS BIGINT, DATE window, TRIM
+        "stratified_sample",  # r6: seeded sampleBy -> deterministic hash threshold
+    }
     names = list(plans.QUERIES)
-    stale_err = [n for n in names if latest.get(n)]
-    never = [n for n in names if n not in latest]
-    green = [n for n in names if latest.get(n) is False]
-    return stale_err + never + green
+    stale_fail = [n for n in names if latest.get(n) or n in contract_bumped]
+    never = [n for n in names if n not in latest and n not in stale_fail]
+    idx = {n: i for i, n in enumerate(names)}
+    green = sorted(
+        (n for n in names if latest.get(n) is False and n not in stale_fail),
+        key=lambda n: (latest_round.get(n, 0), idx[n]),
+    )
+    return stale_fail + never + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
