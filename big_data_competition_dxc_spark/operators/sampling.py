@@ -60,28 +60,65 @@ def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stratified_sample", tags=("U4", "sampling"))
+# Per-stratum keep rates in basis points — view/click downsampled 5x,
+# error halved, signup/purchase kept whole (the class-rebalance step of
+# a training pipeline). Realized as a deterministic hash threshold, NOT
+# sampleBy: Spark's seeded RNG is engine- and partitioning-specific, so
+# a seeded sample can never hash-match a SQL oracle nor reproduce across
+# cluster sizes; md5 of a salted key selects the SAME rows everywhere.
+_STRATA_BPS = {"view": 2000, "click": 2000, "error": 5000, "signup": 10000, "purchase": 10000}
+_STRATA_SQL_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRATA_BPS.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT event_type,
+         ('0x' || substr(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS u,
+         {_STRATA_SQL_CASE} AS keep_bps
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE u < keep_bps) AS BIGINT) AS n_sampled,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       {sql_round('CAST(COUNT(*) FILTER (WHERE u < keep_bps) AS DOUBLE)'
+                  ' / CAST(COUNT(*) AS DOUBLE)', 4)} AS realized_frac
+FROM scored
+GROUP BY event_type
+""",
+    tags=("U4", "sampling"),
+)
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling with per-stratum fractions (sampleBy, seeded):
-    downsample the dominant event types, keep all purchases — the class
-    rebalancing step of a training pipeline. Rows-only check (Spark RNG);
-    tests bound the realized fraction per stratum."""
+    """Stratified sampling with per-stratum fractions, engine-exact:
+    keep a row iff md5('strat:'||event_id) mod 10000 lands under its
+    stratum's basis-point threshold. Same rebalancing semantics the
+    seeded ``sampleBy`` gave (r1–r5 form), but deterministic — the
+    identical row set on any engine, run, or cluster size, which is
+    what makes a training split auditable (and lets DuckDB hash-verify
+    it). The salt ('strat:') decorrelates this selection from the other
+    hash samples over the same table."""
+    from ..functions.hashing import md5_bigint
+
     ev = load(spark, sf_dir, "events")
-    fractions = {"view": 0.2, "click": 0.2, "error": 0.5, "signup": 1.0, "purchase": 1.0}
-    sampled = ev.sampleBy("event_type", fractions, seed=42)
-    return (
-        sampled.groupBy("event_type")
-        .agg(F.count("*").alias("n_sampled"))
-        .join(
-            ev.groupBy("event_type").agg(F.count("*").alias("n_total")),
-            "event_type",
-        )
-        .select(
-            "event_type",
-            "n_sampled",
-            "n_total",
-            round_to(F.col("n_sampled") / F.col("n_total"), 4).alias("realized_frac"),
-        )
+    u = md5_bigint(F.concat(F.lit("strat:"), F.col("event_id").cast("string"))) % 10000
+    keep_bps = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in _STRATA_BPS.items()
+        ],
+        F.lit(0),
+    )
+    kept = F.when(u < keep_bps, 1).otherwise(0)
+    return ev.groupBy("event_type").agg(
+        F.sum(kept).cast("bigint").alias("n_sampled"),
+        F.count("*").alias("n_total"),
+        round_to(
+            F.sum(kept).cast("double") / F.count("*").cast("double"), 4
+        ).alias("realized_frac"),
     )
 
 
