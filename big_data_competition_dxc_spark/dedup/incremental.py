@@ -3,15 +3,28 @@
 Every dedup operator in this package is WITHIN-corpus (all-pairs over
 one snapshot). Production pipelines at 100 TB almost never re-dedup the
 whole corpus: they dedup each ingest DELTA against the existing corpus
-index. This operator is that shape on the fixture: a deterministic ~10%
-hash slice of `documents` plays the incoming delta, the remaining ~90%
-plays the indexed corpus, and the join is STRICTLY delta-bands ×
-corpus-bands — corpus×corpus pairs are never generated, so per-ingest
-cost is O(|delta| × band collision rate), independent of corpus size
-beyond the index probe. Per delta doc the output is the ingest decision
-a pipeline acts on: how many corpus near-dups it has and its best match
+index. These operators are that shape on the fixture: a deterministic
+slice of `documents` plays the incoming delta, the rest plays the
+indexed corpus, and the join is STRICTLY delta-bands × corpus-bands —
+corpus×corpus pairs are never generated, so per-ingest cost is
+O(|delta| × band collision rate), independent of corpus size beyond
+the index probe. Per delta doc the output is the ingest decision a
+pipeline acts on: how many corpus near-dups it has and its best match
 (highest verified Jaccard, doc-id tie-break) — NULL when the doc is
 novel.
+
+Two registered variants, same pipeline:
+
+- ``incremental_minhash_dedup``: delta = md5 ~10% hash slice — delta
+  and corpus both grow with the table, the "daily ingest proportional
+  to traffic" shape.
+- ``incremental_dedup_fixed_delta``: delta = the FIXED first
+  {FIXED_DELTA_DOCS} doc ids — |delta| is constant at every scale
+  factor, so the bench's sf1/sf0.1 wall ratio on this query MEASURES
+  the corpus-size dependence the design claims is sub-linear (the
+  corpus side still pays one signature pass here because the fixture
+  recomputes the index inline; at warehouse scale that side is a
+  precomputed bucketed table and the residual is the probe alone).
 
 At real scale the corpus side of this join is a PRECOMPUTED band index
 stored bucketed by (band, band_key) (operators/bucketing.py is the
@@ -28,7 +41,7 @@ band keys it would have seen in the full run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint, sql_md5_bigint
@@ -40,18 +53,22 @@ from .jaccard import JACCARD_THRESHOLD, shingle_rows
 from .minhash import _band_rows, _bands_sql, _signature, _signature_sql
 
 DELTA_MOD = 10  # md5(doc_id) % DELTA_MOD == 0 -> the ~10% ingest delta
+FIXED_DELTA_DOCS = 100  # doc_id < FIXED_DELTA_DOCS -> scale-invariant delta
 
 _IS_DELTA_SQL = f"{sql_md5_bigint('CAST(doc_id AS VARCHAR)')} % {DELTA_MOD} = 0"
+_IS_FIXED_DELTA_SQL = f"doc_id < {FIXED_DELTA_DOCS}"
 
-_INCREMENTAL_ORACLE = f"""
+
+def _incremental_oracle(is_delta_sql: str) -> str:
+    return f"""
 WITH {_signature_sql()},
 bands AS ({_bands_sql()}),
 cand AS (
   SELECT DISTINCT d.doc_id AS doc_d, c.doc_id AS doc_c
   FROM bands d JOIN bands c
     ON d.band = c.band AND d.band_key = c.band_key AND d.doc_id <> c.doc_id
-  WHERE ({_IS_DELTA_SQL.replace('doc_id', 'd.doc_id')})
-    AND NOT ({_IS_DELTA_SQL.replace('doc_id', 'c.doc_id')})
+  WHERE ({is_delta_sql.replace('doc_id', 'd.doc_id')})
+    AND NOT ({is_delta_sql.replace('doc_id', 'c.doc_id')})
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -82,27 +99,20 @@ SELECT dd.doc_id,
        CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_corpus_matches,
        CAST(b.doc_c AS BIGINT) AS best_match,
        b.jaccard AS best_jaccard
-FROM (SELECT doc_id FROM documents WHERE {_IS_DELTA_SQL}) dd
+FROM (SELECT doc_id FROM documents WHERE {is_delta_sql}) dd
 LEFT JOIN agg a ON a.doc_d = dd.doc_id
 LEFT JOIN best b ON b.doc_d = dd.doc_id AND b.rn = 1
 """
 
 
-@query(
-    "incremental_minhash_dedup",
-    oracle=_INCREMENTAL_ORACLE,
-    tags=("dedup", "minhash", "cdc", "J8"),
-)
-def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per delta document (the ~10% hash slice): number of verified
-    corpus near-dups (Jaccard >= {JACCARD_THRESHOLD} on LSH survivors)
-    and the best corpus match — NULLs when the doc is novel. Only
-    delta-bands probe corpus-bands; the corpus never self-joins."""
+def _incremental_pipeline(
+    spark: SparkSession, sf_dir: str, is_delta: Column
+) -> DataFrame:
+    """Shared delta-vs-corpus pipeline; ``is_delta`` is the slice
+    predicate over ``doc_id`` (the only thing the variants change)."""
     docs = load(spark, sf_dir, "documents")
     sh = shingle_rows(docs).cache()  # feeds signature + both verify sides
-    bands = _band_rows(_signature(sh)).withColumn(
-        "is_delta", md5_bigint(F.col("doc_id").cast("string")) % DELTA_MOD == 0
-    )
+    bands = _band_rows(_signature(sh)).withColumn("is_delta", is_delta)
     d = bands.filter(F.col("is_delta")).alias("d")
     c = bands.filter(~F.col("is_delta")).alias("c")
     cand = (
@@ -129,30 +139,28 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_d", "doc_c", round_to(jac, 4).alias("jaccard"))
     )
-    w = Window.partitionBy("doc_d").orderBy(F.col("jaccard").desc(), F.col("doc_c"))
-    best = (
-        ver.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_d",
-            F.col("doc_c").alias("best_match"),
-            F.col("jaccard").alias("best_jaccard"),
-        )
+    # ONE aggregation yields both the match count and the best match:
+    # max over (jaccard, -doc_c) structs is the same argmax the oracle's
+    # ROW_NUMBER picks (highest jaccard, lowest doc_c tie-break), and
+    # collapsing the former count-groupBy + rank-window pair into this
+    # single pass halves the query — `ver` used to be scanned once per
+    # branch, recomputing the whole candidate+verify pipeline (r6;
+    # measured 4.4s -> ~2.5s at sf0.1).
+    agg = ver.groupBy("doc_d").agg(
+        F.count("*").alias("n_matches"),
+        F.max(F.struct(F.col("jaccard"), (-F.col("doc_c")).alias("neg_c"))).alias(
+            "top"
+        ),
     )
-    agg = ver.groupBy("doc_d").agg(F.count("*").alias("n_matches"))
-    delta_ids = docs.select("doc_id").filter(
-        md5_bigint(F.col("doc_id").cast("string")) % DELTA_MOD == 0
-    )
+    delta_ids = docs.select("doc_id").filter(is_delta)
     out = (
         delta_ids.join(agg, delta_ids.doc_id == agg.doc_d, "left")
-        .drop("doc_d")
-        .join(best, delta_ids.doc_id == best.doc_d, "left")
         .drop("doc_d")
         .select(
             "doc_id",
             F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_corpus_matches"),
-            F.col("best_match").cast("bigint"),
-            "best_jaccard",
+            (-F.col("top.neg_c")).cast("bigint").alias("best_match"),
+            F.col("top.jaccard").alias("best_jaccard"),
         )
     )
     # same session hygiene as minhash_dedup_verified: materialize the
@@ -161,3 +169,45 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = result_checkpoint(out)
     sh.unpersist()
     return out
+
+
+@query(
+    "incremental_minhash_dedup",
+    oracle=_incremental_oracle(_IS_DELTA_SQL),
+    # bench=True (r6): the production dedup shape belongs in the scale
+    # block — its claim is "per-ingest cost tracks |delta|, not corpus
+    # size", and the sf1/sf0.1 wall ratio is the measurement of that.
+    bench=True,
+    tags=("dedup", "minhash", "cdc", "J8"),
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per delta document (the ~10% hash slice): number of verified
+    corpus near-dups (Jaccard >= {JACCARD_THRESHOLD} on LSH survivors)
+    and the best corpus match — NULLs when the doc is novel. Only
+    delta-bands probe corpus-bands; the corpus never self-joins."""
+    is_delta = md5_bigint(F.col("doc_id").cast("string")) % DELTA_MOD == 0
+    return _incremental_pipeline(spark, sf_dir, is_delta)
+
+
+@query(
+    "incremental_dedup_fixed_delta",
+    oracle=_incremental_oracle(_IS_FIXED_DELTA_SQL),
+    # bench=True: |delta| is CONSTANT across scale factors (the first
+    # {FIXED_DELTA_DOCS} doc ids exist at every sf), so this query's
+    # sf1/sf0.1 wall ratio isolates corpus-size dependence — the
+    # empirical answer to "is per-ingest cost independent of corpus
+    # size?" that the proportional-delta variant cannot give (there
+    # delta and corpus grow together).
+    bench=True,
+    tags=("dedup", "minhash", "cdc", "J8", "scale"),
+)
+def incremental_dedup_fixed_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decision output as `incremental_minhash_dedup` for a FIXED
+    {FIXED_DELTA_DOCS}-document delta (doc_id < {FIXED_DELTA_DOCS}) —
+    the constant-ingest probe whose wall growth across scale factors
+    is attributable to the corpus side alone (inline index recompute at
+    fixture scale; the probe alone once the band index is a stored
+    bucketed table)."""
+    return _incremental_pipeline(
+        spark, sf_dir, F.col("doc_id") < FIXED_DELTA_DOCS
+    )
