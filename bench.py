@@ -79,15 +79,20 @@ def main() -> None:
     spark = get_spark("bdc-dxc-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + file-index caches once so the first timed query
-    # doesn't absorb session startup (we measure queries, not boot).
     from big_data_competition_dxc_spark.sources import TABLES, load
 
-    for t in TABLES:
-        try:
-            load(spark, sf_dir, t).count()
-        except Exception:
-            pass  # missing table: the per-query loop reports it as -1
+    def _warm_tables(block_dir: str) -> None:
+        """Warm the JVM + file-index + page caches for a block's tables
+        so the first timed query doesn't absorb session startup or cold
+        file listing (we measure queries, not boot). Runs per BLOCK:
+        r5's sf1 scale block skipped this and its small-denominator
+        queries (topk_days_per_user: 0.3s main) picked up cold-read
+        jitter worth 2-3x in the published wall ratio."""
+        for t in TABLES:
+            try:
+                load(spark, block_dir, t).count()
+            except Exception:
+                pass  # missing table: the per-query loop reports it as -1
 
     headline = {n: e for n, e in plans.QUERIES.items() if e.bench}
 
@@ -136,6 +141,20 @@ def main() -> None:
     MAX_ATTEMPTS = 3
     STEAL_GATE = 1000
     PROBE_GATE = 2.0
+    # Reference probe for cross-round normalization: the r4 bench ran
+    # at cpu_probe 0.91s. A clean gate still admits ±30% machine-speed
+    # drift (r5: probe 1.11s inflated every query 25-40% in lockstep
+    # and published a phantom 30.44s vs r4's 22.97s on plan-identical
+    # code). `value_probe_normalized` = wall x (PROBE_BASELINE / probe)
+    # rescales each block to r4-reference machine speed so
+    # round-over-round comparison doesn't need forensic dev-log
+    # reconstruction. Raw wall stays the headline `value`.
+    PROBE_BASELINE = 0.91
+
+    def _normalized(total: float, probe: float) -> float | None:
+        if total <= 0 or probe <= 0:
+            return None
+        return round(total * PROBE_BASELINE / probe, 2)
     def gated_block(block_dir: str) -> dict:
         """Run one headline block under the noise gate, retrying up to
         MAX_ATTEMPTS until an attempt is clean; if none is, keep the
@@ -146,6 +165,7 @@ def main() -> None:
         wrapped the main block."""
         best: dict = {}
         attempts = []
+        _warm_tables(block_dir)
         for _att in range(MAX_ATTEMPTS):
             probe_a = _cpu_probe()
             steal0 = _steal_jiffies()
@@ -229,6 +249,8 @@ def main() -> None:
                 },
                 "steal_jiffies": sc["steal"],
                 "cpu_probe_sec": sc["probe"],
+                "value_probe_normalized": _normalized(sc["total"], sc["probe"]),
+                "probe_baseline_sec": PROBE_BASELINE,
                 "noise_gate": {
                     "steal_gate": STEAL_GATE,
                     "probe_gate_sec": PROBE_GATE,
@@ -249,6 +271,10 @@ def main() -> None:
         # compute probe timed just before it
         "steal_jiffies": steal_main,
         "cpu_probe_sec": probe,
+        # raw wall rescaled to the r4 reference machine speed (see
+        # PROBE_BASELINE comment) — the number to compare across rounds
+        "value_probe_normalized": _normalized(total, probe),
+        "probe_baseline_sec": PROBE_BASELINE,
         "noise_gate": {
             "steal_gate": STEAL_GATE,
             "probe_gate_sec": PROBE_GATE,
