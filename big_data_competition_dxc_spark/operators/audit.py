@@ -282,3 +282,187 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("checksum"),
     ).select(F.lit("lineitem").alias("tbl"), "n_rows", "checksum")
     return o.unionAll(l)
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style one-pass column profile (r6)
+# ---------------------------------------------------------------------------
+
+# (profile column, post-aggregate render template) — MIN/MAX aggregate
+# over the NATIVE type (numeric/date/string order), and only the single
+# resulting value passes through the exact cross-engine rendering
+# (integer cents for doubles, ISO date for the timestamp — same
+# discipline as table_checksum_audit). Rendering before aggregating
+# would silently turn numeric min/max into lexicographic min/max
+# ("999" > "1000"). {v} is MIN(col)/MAX(col); {s} is the engine's
+# string type keyword (Spark: STRING, DuckDB: VARCHAR).
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({v} AS {s})"),
+    ("o_custkey", "CAST({v} AS {s})"),
+    ("o_orderstatus", "{v}"),
+    ("o_orderpriority", "{v}"),
+    ("o_totalprice", "CAST(CAST(floor({v} * 100.0 + 0.5) AS BIGINT) AS {s})"),
+    ("o_orderdate", "CAST(CAST({v} AS DATE) AS {s})"),
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{col}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       {render.format(v=f'MIN({col})', s='VARCHAR')} AS min_render,
+       {render.format(v=f'MAX({col})', s='VARCHAR')} AS max_render
+FROM orders"""
+    for col, render in _PROFILE_COLS
+)
+
+
+@query("table_profile", oracle=_PROFILE_ORACLE, tags=("A8", "A9", "audit"))
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of `orders`, long format: per column
+    the row count, null count, exact distinct count, and min/max under
+    an exact cross-engine rendering (cents for doubles, ISO date for
+    the timestamp) — the statistics a cost-based optimizer ingests and
+    the first data-quality snapshot a new load gets. One logical pass:
+    Spark plans the multi-column DISTINCT aggregate via EXPAND (input
+    replicated once per distinct column, then one partial-aggregated
+    shuffle). At 100 TB swap the exact NDVs for approx_count_distinct
+    (HLL++, one pass, no expand) — `approx_distinct_check` measures
+    precisely the error that swap accepts. MIN/MAX aggregate over the
+    NATIVE type; only the resulting scalar passes through the exact
+    rendering (cents / ISO date), because rendering first would turn
+    numeric order into lexicographic order and raw double/timestamp
+    formatting differs across engines."""
+    orders = load(spark, sf_dir, "orders")
+    parts = []
+    for col, render in _PROFILE_COLS:
+        parts.append(
+            orders.agg(
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count(col)).alias("n_nulls"),
+                F.count_distinct(F.col(col)).alias("n_distinct"),
+                F.expr(render.format(v=f"MIN({col})", s="STRING")).alias(
+                    "min_render"
+                ),
+                F.expr(render.format(v=f"MAX({col})", s="STRING")).alias(
+                    "max_render"
+                ),
+            ).select(
+                F.lit(col).alias("col_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_render",
+                "max_render",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation: full-outer diff of two table versions (r6)
+# ---------------------------------------------------------------------------
+
+_DIFF_FP_SQL = (
+    "CAST(user_id AS VARCHAR) || '|' || event_type || '|' || "
+    "CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '|' || "
+    "CAST(epoch_us(ts) AS VARCHAR)"
+)
+
+
+def _diff_oracle() -> str:
+    from ..functions.hashing import sql_md5_bigint
+
+    salted = "'{salt}' || CAST(event_id AS VARCHAR)"
+    in_a = f"{sql_md5_bigint(salted.format(salt='snapA:'))} % 20 <> 0"
+    in_b = f"{sql_md5_bigint(salted.format(salt='snapB:'))} % 25 <> 0"
+    changed = f"{sql_md5_bigint(salted.format(salt='chg:'))} % 10 = 0"
+    return f"""
+WITH a AS (
+  SELECT event_id, {_DIFF_FP_SQL} AS fp
+  FROM events WHERE {in_a}
+),
+b AS (
+  SELECT event_id,
+         CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+         CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              + CASE WHEN {changed} THEN 100 ELSE 0 END AS VARCHAR) || '|' ||
+         CAST(epoch_us(ts) AS VARCHAR) AS fp
+  FROM events WHERE {in_b}
+)
+SELECT CAST(SUM(CASE WHEN b.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+       CAST(SUM(CASE WHEN a.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+       CAST(SUM(CASE WHEN a.event_id IS NOT NULL AND b.event_id IS NOT NULL
+                      AND a.fp <> b.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN a.fp = b.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+"""
+
+
+@query("table_diff_audit", oracle=_diff_oracle(), tags=("audit", "J8", "U3"))
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation of two snapshots of the same table —
+    the migration/replication validator that says WHERE two copies
+    disagree, where `table_checksum_audit` only says THAT they do.
+    Snapshot A drops a deterministic ~5% of events (rows B gained),
+    snapshot B drops a disjoint ~4% (rows B lost) and perturbs ~10% of
+    values by +1.00 (rows changed); both derivations are md5-salted so
+    the slices are engine-portable. One full-outer join on the key
+    compares exact-render row fingerprints (cents + epoch-micros — the
+    same cross-engine-stable renderings as the checksum audit) and
+    classifies every key: only-in-A, only-in-B, changed, identical.
+    100 TB: one hash exchange per side on the join key, fingerprints
+    computed map-side, AND the whole comparison is partitionable by
+    key range for resumable reconciliation. Output is one dashboard
+    row."""
+    from ..functions.hashing import md5_bigint
+
+    ev = load(spark, sf_dir, "events")
+    sid = F.col("event_id").cast("string")
+    fp_base = [
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    ]
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+    micros = F.unix_micros(F.col("ts")).cast("string")
+    a = ev.filter(md5_bigint(F.concat(F.lit("snapA:"), sid)) % 20 != 0).select(
+        "event_id",
+        F.concat_ws(
+            "|", *fp_base, cents.cast("string"), micros
+        ).alias("fp"),
+    )
+    bumped = cents + F.when(
+        md5_bigint(F.concat(F.lit("chg:"), sid)) % 10 == 0, F.lit(100)
+    ).otherwise(F.lit(0))
+    b = ev.filter(md5_bigint(F.concat(F.lit("snapB:"), sid)) % 25 != 0).select(
+        "event_id",
+        F.concat_ws(
+            "|", *fp_base, bumped.cast("string"), micros
+        ).alias("fp"),
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    j = aa.join(bb, F.col("a.event_id") == F.col("b.event_id"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("b.event_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_only_a"),
+        F.sum(F.when(F.col("a.event_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_only_b"),
+        F.sum(
+            F.when(
+                F.col("a.event_id").isNotNull()
+                & F.col("b.event_id").isNotNull()
+                & (F.col("a.fp") != F.col("b.fp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("a.fp") == F.col("b.fp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_identical"),
+    )

@@ -351,3 +351,38 @@ def test_typed_state_matches_batch_aggregate(spark):
         .collect()
     }
     assert got == want
+
+
+def test_table_diff_audit_buckets_bind(spark):
+    """Every reconciliation class must be non-empty at sf0.01 — a diff
+    audit whose changed/only-A/only-B buckets are zero would be
+    vacuously green."""
+    from big_data_competition_dxc_spark import plans
+
+    [r] = plans.QUERIES["table_diff_audit"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert r["n_only_a"] > 0
+    assert r["n_only_b"] > 0
+    assert r["n_changed"] > 0
+    assert r["n_identical"] > r["n_changed"]  # perturbation is the minority
+
+
+def test_table_profile_invariants(spark):
+    """Profile rows: one per profiled column; nulls+distinct bounded by
+    row count; min/max renders present, numeric for the key columns
+    (min/max aggregate over the NATIVE type — the renders of numeric
+    columns must compare numerically, not lexicographically)."""
+    from big_data_competition_dxc_spark import plans
+
+    rows = plans.QUERIES["table_profile"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 6
+    by_col = {r["col_name"]: r for r in rows}
+    for r in rows:
+        assert r["n_rows"] > 0
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+        assert r["min_render"] is not None and r["max_render"] is not None
+    for numcol in ("o_orderkey", "o_custkey", "o_totalprice"):
+        r = by_col[numcol]
+        assert int(r["min_render"]) <= int(r["max_render"])
+    assert by_col["o_orderstatus"]["min_render"] <= by_col["o_orderstatus"]["max_render"]
+    assert by_col["o_orderdate"]["min_render"] <= by_col["o_orderdate"]["max_render"]
