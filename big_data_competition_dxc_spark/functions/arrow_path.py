@@ -22,8 +22,6 @@ state; batch size follows spark.sql.execution.arrow.maxRecordsPerBatch.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.registry import query

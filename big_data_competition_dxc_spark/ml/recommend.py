@@ -221,8 +221,38 @@ _COS_PAIRS_SQL = f"""
 # recomputes, a truncated-lineage checkpoint cannot) and live for the
 # session; a long-lived driver releases them with its normal
 # between-pipeline block cleanup (see bench.py's _release_leaked_state).
-_RATINGS_MEMO: dict[tuple[int, str], DataFrame] = {}
-_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+_RATINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(applicationId, dir): unlike id(spark), a stopped session's key
+    can never collide with a new session reusing the same address, and
+    the key itself holds no reference to the session."""
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def _evict_other_sessions(key: tuple[str, str]) -> None:
+    """Drop memo entries from any OTHER application: cached DataFrames
+    pin their (possibly stopped) SparkSession, so the memos hold at
+    most the live session's frames. Eviction is a plain del — the dead
+    session's executors are gone, there is nothing to unpersist."""
+    for memo in (_RATINGS_MEMO, _PAIRS_MEMO):
+        for k in [k for k in memo if k[0] != key[0]]:
+            del memo[k]
+
+
+def clear_memos() -> None:
+    """Session-teardown / bench-cleanup hook: unpersist and forget every
+    memoized frame (best-effort — a stopped session raises on
+    unpersist, which is fine because its blocks died with it)."""
+    for memo in (_RATINGS_MEMO, _PAIRS_MEMO):
+        for df in memo.values():
+            try:
+                df.unpersist(False)
+            except Exception:  # noqa: BLE001 - teardown must not raise
+                pass
+        memo.clear()
 
 
 def cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,9 +263,10 @@ def cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT"):
         return ratings(spark, sf_dir)
-    key = (id(spark), sf_dir)
+    key = _memo_key(spark, sf_dir)
     hit = _RATINGS_MEMO.get(key)
     if hit is None:
+        _evict_other_sessions(key)
         hit = ratings(spark, sf_dir).cache()
         _RATINGS_MEMO[key] = hit
     return hit
@@ -260,11 +291,12 @@ def _user_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache is a materialization barrier that would hide the pipeline
     # from .explain exactly like the checkpoint the audit disables
     audit_mode = bool(os.environ.get("SPARK_GRAFT_NO_CHECKPOINT"))
-    memo_key = (id(spark), sf_dir)
+    memo_key = _memo_key(spark, sf_dir)
     if not audit_mode:
         hit = _PAIRS_MEMO.get(memo_key)
         if hit is not None:
             return hit
+        _evict_other_sessions(memo_key)
     r = cached_ratings(spark, sf_dir)
     norms = r.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")

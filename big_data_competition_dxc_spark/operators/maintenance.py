@@ -132,6 +132,14 @@ def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = a.agg(F.sum("n_a")).collect()[0][0]
     tb = b.agg(F.sum("n_b")).collect()[0][0]
+    if not ta or not tb:
+        # an empty snapshot window (SUM over no rows collects None)
+        # would otherwise interpolate 'div None' into the expressions
+        # below — fail loudly instead of emitting an unparseable plan
+        raise ValueError(
+            f"snapshot_drift_report: empty window (ta={ta}, tb={tb}); "
+            f"need events on both sides of the {DRIFT_SPLIT_DAYS}-day cutoff"
+        )
     # FULL OUTER, not inner: an event type present in only one window
     # (newly appearing or vanished — the strongest drift signal) must
     # surface with a ±share permille delta, not silently drop out.

@@ -18,9 +18,11 @@ fixture output is tiny; the partitioned form is the 100 TB path.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +30,18 @@ from pyspark.sql import functions as F
 from ..functions.rounding import fixed_sum, sql_fixed_sum
 from ..plans.registry import query
 from . import load
+
+@contextlib.contextmanager
+def _scratch_dir(prefix: str) -> Iterator[str]:
+    """mkdtemp that is ALWAYS removed, even when the write/read/collect
+    under test raises — a failed round-trip must not leak scratch dirs
+    into /tmp across a long driver session."""
+    out = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield out
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
 
 _ORDERS_AGG_ORACLE = f"""
 SELECT o_orderstatus,
@@ -56,39 +70,39 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="csv_rt_")
-    orders.coalesce(1).write.mode("overwrite").csv(out)
-    # Inject malformed rows (wrong arity / wrong types) — the reference's
-    # raw inputs contained these and silently dropped them (M:31, M:40).
-    part = next(p for p in os.listdir(out) if p.startswith("part-"))
-    with open(f"{out}/{part}", "a") as f:
-        f.write("garbage,row\n")
-        f.write("1,2,3,4,5,6,7,8,9\n")
-        f.write("notanint,5,O,1.0\n")
-    # drop Hadoop's checksum sidecars — stale after the append
-    for p in os.listdir(out):
-        if p.endswith(".crc"):
-            os.remove(f"{out}/{p}")
-    lines = spark.read.text(out)
-    parts = F.split(F.col("value"), ",")
-    parsed = (
-        lines.filter(F.size(parts) == 4)  # P6: the arity filter, verbatim
-        .select(
-            # try_cast: ANSI mode throws on bad input; NULL-then-drop
-            # reproduces the reference's silent bad-row behavior (P14)
-            parts[0].try_cast("long").alias("o_orderkey"),
-            parts[1].try_cast("long").alias("o_custkey"),
-            parts[2].alias("o_orderstatus"),
-            parts[3].try_cast("double").alias("o_totalprice"),
+    with _scratch_dir("csv_rt_") as out:
+        orders.coalesce(1).write.mode("overwrite").csv(out)
+        # Inject malformed rows (wrong arity / wrong types) — the
+        # reference's raw inputs contained these and silently dropped
+        # them (M:31, M:40).
+        part = next(p for p in os.listdir(out) if p.startswith("part-"))
+        with open(f"{out}/{part}", "a") as f:
+            f.write("garbage,row\n")
+            f.write("1,2,3,4,5,6,7,8,9\n")
+            f.write("notanint,5,O,1.0\n")
+        # drop Hadoop's checksum sidecars — stale after the append
+        for p in os.listdir(out):
+            if p.endswith(".crc"):
+                os.remove(f"{out}/{p}")
+        lines = spark.read.text(out)
+        parts = F.split(F.col("value"), ",")
+        parsed = (
+            lines.filter(F.size(parts) == 4)  # P6: the arity filter, verbatim
+            .select(
+                # try_cast: ANSI mode throws on bad input; NULL-then-drop
+                # reproduces the reference's silent bad-row behavior (P14)
+                parts[0].try_cast("long").alias("o_orderkey"),
+                parts[1].try_cast("long").alias("o_custkey"),
+                parts[2].alias("o_orderstatus"),
+                parts[3].try_cast("double").alias("o_totalprice"),
+            )
+            .filter(F.col("o_orderkey").isNotNull())  # cast-failure drop
         )
-        .filter(F.col("o_orderkey").isNotNull())  # cast-failure drop
-    )
-    agg = parsed.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
-    )
-    rows = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+        agg = parsed.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+        )
+        rows = agg.collect()
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_orders bigint, total_price double"
     )
@@ -125,20 +139,19 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_events"),
         fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     )
-    out = tempfile.mkdtemp(prefix="pq_rt_")
-    daily.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
-    back = spark.read.parquet(out)
-    agg = (
-        back.filter(F.col("ds") >= F.lit("2024-01-10").cast("date"))
-        .groupBy("ds")
-        .agg(
-            F.count("*").alias("n_types"),
-            F.sum("n_events").alias("n_events"),
-            fixed_sum(F.col("total_value"), 2, 2).alias("total_value"),
+    with _scratch_dir("pq_rt_") as out:
+        daily.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
+        back = spark.read.parquet(out)
+        agg = (
+            back.filter(F.col("ds") >= F.lit("2024-01-10").cast("date"))
+            .groupBy("ds")
+            .agg(
+                F.count("*").alias("n_types"),
+                F.sum("n_events").alias("n_events"),
+                fixed_sum(F.col("total_value"), 2, 2).alias("total_value"),
+            )
         )
-    )
-    rows = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+        rows = agg.collect()
     return spark.createDataFrame(
         rows, "ds date, n_types bigint, n_events bigint, total_value double"
     )
@@ -237,24 +250,25 @@ def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("ds"), "event_type").agg(
         F.count("*").alias("n_events")
     )
-    out = tempfile.mkdtemp(prefix="pq_backfill_")
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    try:
-        daily.write.mode("overwrite").partitionBy("ds").parquet(out)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        patch = daily.filter(F.col("ds") == F.lit("2024-01-05").cast("date")).withColumn(
-            "n_events", F.col("n_events") * 2
+    with _scratch_dir("pq_backfill_") as out:
+        old_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
         )
-        # dynamic mode: ONLY the ds=2024-01-05 partition is replaced
-        patch.write.mode("overwrite").partitionBy("ds").parquet(out)
-        back = spark.read.parquet(out)
-        agg = back.groupBy("ds").agg(
-            F.count("*").alias("n_types"), F.sum("n_events").alias("n_events")
-        )
-        rows = agg.collect()
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-        shutil.rmtree(out, ignore_errors=True)
+        try:
+            daily.write.mode("overwrite").partitionBy("ds").parquet(out)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            patch = daily.filter(
+                F.col("ds") == F.lit("2024-01-05").cast("date")
+            ).withColumn("n_events", F.col("n_events") * 2)
+            # dynamic mode: ONLY the ds=2024-01-05 partition is replaced
+            patch.write.mode("overwrite").partitionBy("ds").parquet(out)
+            back = spark.read.parquet(out)
+            agg = back.groupBy("ds").agg(
+                F.count("*").alias("n_types"), F.sum("n_events").alias("n_events")
+            )
+            rows = agg.collect()
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     return spark.createDataFrame(rows, "ds date, n_types bigint, n_events bigint")
 
 
@@ -279,18 +293,17 @@ def json_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="json_rt_")
-    orders.write.mode("overwrite").json(out)
-    back = spark.read.schema(
-        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
-        "o_totalprice double"
-    ).json(out)
-    agg = back.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
-    )
-    rows = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+    with _scratch_dir("json_rt_") as out:
+        orders.write.mode("overwrite").json(out)
+        back = spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+            "o_totalprice double"
+        ).json(out)
+        agg = back.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+        )
+        rows = agg.collect()
     return spark.createDataFrame(
         rows,
         "o_orderstatus string, o_orderpriority string, n_orders bigint, "
@@ -321,15 +334,14 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="orc_rt_")
-    orders.write.mode("overwrite").orc(out)
-    back = spark.read.orc(out)
-    agg = back.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
-    )
-    rows = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+    with _scratch_dir("orc_rt_") as out:
+        orders.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        agg = back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+        )
+        rows = agg.collect()
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_orders bigint, total_price double"
     )
@@ -360,20 +372,23 @@ def xml_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="xml_rt_")
-    orders.write.mode("overwrite").format("xml").option("rowTag", "row").save(out)
-    back = (
-        spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
-        .format("xml")
-        .option("rowTag", "row")
-        .load(out)
-    )
-    agg = back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
-    )
-    rows = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+    with _scratch_dir("xml_rt_") as out:
+        orders.write.mode("overwrite").format("xml").option("rowTag", "row").save(
+            out
+        )
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_orderstatus string, o_totalprice double"
+            )
+            .format("xml")
+            .option("rowTag", "row")
+            .load(out)
+        )
+        agg = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+        )
+        rows = agg.collect()
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_orders bigint, total_price double"
     )
@@ -408,7 +423,6 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     read per file's metadata), not a data rewrite; pinning
     mergeSchema per-read (not globally) keeps unevolved scans cheap."""
     orders = load(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="evolve_")
     old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -418,16 +432,16 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.year("o_orderdate").cast("bigint").alias("o_year"),
     )
-    old.write.mode("overwrite").parquet(f"{out}/batch=1")
-    new.write.mode("overwrite").parquet(f"{out}/batch=2")
-    back = spark.read.option("mergeSchema", "true").parquet(out)
-    agg = back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.count("o_year").alias("n_with_year"),
-        fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
-    )
-    rows = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+    with _scratch_dir("evolve_") as out:
+        old.write.mode("overwrite").parquet(f"{out}/batch=1")
+        new.write.mode("overwrite").parquet(f"{out}/batch=2")
+        back = spark.read.option("mergeSchema", "true").parquet(out)
+        agg = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.count("o_year").alias("n_with_year"),
+            fixed_sum(F.col("o_totalprice"), 2, 2).alias("total_price"),
+        )
+        rows = agg.collect()
     return spark.createDataFrame(
         rows,
         "o_orderstatus string, n_orders bigint, n_with_year bigint, "
@@ -468,21 +482,22 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("ds"), "user_id", "value"
     )
     n_days = ev.select("ds").distinct().count()
-    out = tempfile.mkdtemp(prefix="compact_")
-    # messy ingest: one file per (writer-bucket, ds) pair
-    ev.repartition(8, "user_id").write.partitionBy("ds").parquet(f"{out}/ingest")
-    # compaction: read the messy layout back, rewrite one file per ds
-    back = spark.read.parquet(f"{out}/ingest")
-    back.repartition(n_days, "ds").write.partitionBy("ds").parquet(f"{out}/compact")
-    files = glob.glob(f"{out}/compact/ds=*/part-*.parquet")
-    dirs = glob.glob(f"{out}/compact/ds=*")
-    compacted = spark.read.parquet(f"{out}/compact")
-    agg = compacted.agg(
-        F.count("*").alias("n_rows"),
-        fixed_sum(F.col("value"), 2, 2).alias("total_value"),
-    )
-    [r] = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+    with _scratch_dir("compact_") as out:
+        # messy ingest: one file per (writer-bucket, ds) pair
+        ev.repartition(8, "user_id").write.partitionBy("ds").parquet(f"{out}/ingest")
+        # compaction: read the messy layout back, rewrite one file per ds
+        back = spark.read.parquet(f"{out}/ingest")
+        back.repartition(n_days, "ds").write.partitionBy("ds").parquet(
+            f"{out}/compact"
+        )
+        files = glob.glob(f"{out}/compact/ds=*/part-*.parquet")
+        dirs = glob.glob(f"{out}/compact/ds=*")
+        compacted = spark.read.parquet(f"{out}/compact")
+        agg = compacted.agg(
+            F.count("*").alias("n_rows"),
+            fixed_sum(F.col("value"), 2, 2).alias("total_value"),
+        )
+        [r] = agg.collect()
     return spark.createDataFrame(
         [(len(files), len(dirs), r["n_rows"], r["total_value"])],
         "n_files_after bigint, n_partitions bigint, n_rows bigint, "
