@@ -24,7 +24,11 @@ def _canon(val):
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
-        return round(val, 9)
+        # repr, not the raw float: scripts/driver_sim.py canonicalizes
+        # the same way, and a column mixing NULLs with floats must stay
+        # sortable (str vs float tuples raise TypeError — hit by
+        # incremental_dedup_fixed_delta's nullable best_jaccard)
+        return repr(round(val, 9))
     if isinstance(val, (list, tuple)):
         return tuple(_canon(v) for v in val)
     return str(val)
