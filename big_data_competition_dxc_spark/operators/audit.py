@@ -332,34 +332,32 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     NATIVE type; only the resulting scalar passes through the exact
     rendering (cents / ISO date), because rendering first would turn
     numeric order into lexicographic order and raw double/timestamp
-    formatting differs across engines."""
+    formatting differs across engines.
+
+    ONE aggregate computes every column's stats (the r6 original
+    union-ed six single-column branches — six scans, twelve
+    exchanges); the profile now reads the table once, Catalyst plans
+    the six DISTINCTs as a single 6-way Expand, and stack() unpivots
+    the one wide row. tests/test_plans.py pins the 2-exchange
+    budget."""
     orders = load(spark, sf_dir, "orders")
-    parts = []
+    aggs = []
     for col, render in _PROFILE_COLS:
-        parts.append(
-            orders.agg(
-                F.count("*").alias("n_rows"),
-                (F.count("*") - F.count(col)).alias("n_nulls"),
-                F.count_distinct(F.col(col)).alias("n_distinct"),
-                F.expr(render.format(v=f"MIN({col})", s="STRING")).alias(
-                    "min_render"
-                ),
-                F.expr(render.format(v=f"MAX({col})", s="STRING")).alias(
-                    "max_render"
-                ),
-            ).select(
-                F.lit(col).alias("col_name"),
-                "n_rows",
-                "n_nulls",
-                "n_distinct",
-                "min_render",
-                "max_render",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        aggs += [
+            (F.count("*") - F.count(col)).alias(f"nn_{col}"),
+            F.count_distinct(F.col(col)).alias(f"nd_{col}"),
+            F.expr(render.format(v=f"MIN({col})", s="STRING")).alias(f"mn_{col}"),
+            F.expr(render.format(v=f"MAX({col})", s="STRING")).alias(f"mx_{col}"),
+        ]
+    wide = orders.agg(F.count("*").alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{col}', n_rows, nn_{col}, nd_{col}, mn_{col}, mx_{col}"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_render, max_render)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -112,3 +112,95 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket pruning: point/IN-list lookups read 1 of N buckets (r6)
+# ---------------------------------------------------------------------------
+
+# keys chosen to exist at every fixture scale (orders are 0..N-1)
+_PROBE_KEYS = (11, 42, 77)
+
+_BUCKET_PRUNE_ORACLE = f"""
+SELECT o.o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_fixed_sum('l.l_extendedprice', 2, 2)} AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN {_PROBE_KEYS}
+GROUP BY o.o_orderkey
+"""
+
+
+def bucket_pruned_scan_frames(spark: SparkSession, sf_dir: str):
+    """Write lineitem bucketed on the key, probe it with an IN-list —
+    Spark's scan prunes to the buckets the literals hash into
+    (SelectedBucketsCount in the plan), reading 1/{N_BUCKETS} of the
+    files per key instead of the whole table. Returns (df, cleanup).
+
+    autoBucketedScan is scoped OFF: that heuristic keeps the bucketed
+    read only when an operator consumes the bucketed OUTPUT partitioning
+    (join/agg shuffle elimination) and is blind to the bucket-FILTER
+    read-cost benefit — with it on, this scan plans as
+    'Bucketed: false (disabled by query planner)' and reads every file.
+    The conf is restored in cleanup(); callers must keep planning AND
+    execution inside the frames/cleanup scope (same discipline as
+    bloom_join_scope)."""
+    base = tempfile.mkdtemp(prefix="bucketprune_")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_auto = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    spark.sql("DROP TABLE IF EXISTS bp_lineitem")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .option("path", f"{base}/bp_lineitem")
+        .mode("overwrite")
+        .saveAsTable("bp_lineitem")
+    )
+    li = spark.table("bp_lineitem").filter(
+        F.col("l_orderkey").isin(*_PROBE_KEYS)
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey").isin(*_PROBE_KEYS)
+    )
+    joined = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    )
+
+    def cleanup() -> None:
+        import shutil
+
+        spark.conf.set(auto_key, old_auto)
+        spark.sql("DROP TABLE IF EXISTS bp_lineitem")
+        shutil.rmtree(base, ignore_errors=True)
+
+    return joined, cleanup
+
+
+@query(
+    "bucket_pruned_scan",
+    oracle=_BUCKET_PRUNE_ORACLE,
+    tags=("S2", "S3", "P9", "scale"),
+)
+def bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup revenue for {len(_PROBE_KEYS)} order keys through a
+    bucketed layout: the scan hashes each IN-list literal to its bucket
+    and reads ONLY those files (SelectedBucketsCount — plan-asserted in
+    test_plans), the O(keys) index-like access path a bucketed 100 TB
+    fact table gives point queries for free. Complements
+    `bucketed_colocated_join` (same layout, shuffle elimination) and
+    partition pruning (`parquet_partitioned_roundtrip` — coarse date
+    ranges): partitioning prunes by VALUE ranges you chose at write
+    time, bucketing prunes by HASH for arbitrary key lookups. The
+    oracle computes the same totals from the pristine tables."""
+    joined, cleanup = bucket_pruned_scan_frames(spark, sf_dir)
+    agg = joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_items"),
+        fixed_sum(F.col("l_extendedprice"), 2, 2).alias("revenue"),
+    )
+    rows = agg.collect()
+    cleanup()
+    return spark.createDataFrame(
+        rows, "o_orderkey bigint, n_items bigint, revenue double"
+    )

@@ -134,6 +134,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, no driver materialization. Same rows as the all-pairs
     DuckDB oracle by construction (every unordered pair appears in
     exactly one block-pair)."""
+    return _block_pair_sims(spark, sf_dir, NEARDUP_COS)
+
+
+def _block_pair_sims(
+    spark: SparkSession, sf_dir: str, min_cos: float
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim-rounded-4dp) for every unordered pair
+    with raw cosine >= min_cos, via the block-partitioned equi-join
+    documented on `embedding_neardup_pairs` (which is this helper at
+    {NEARDUP_COS}); `neardup_threshold_curve` reuses it at its lowest
+    grid point."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -161,7 +172,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cross-block pairs (i<j) are unique already; same-block pairs
         # need the strict ordering to drop self+mirror duplicates
         .filter((F.col("i") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
-        .filter(sim >= NEARDUP_COS)
+        .filter(sim >= min_cos)
         .select(
             F.least("id_a", "id_b").alias("vec_a"),
             F.greatest("id_a", "id_b").alias("vec_b"),
@@ -211,4 +222,91 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
         .filter(F.col("n_vecs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-threshold calibration curve (r6)
+# ---------------------------------------------------------------------------
+
+# basis points of the candidate cosine thresholds; the lowest one is the
+# pair-enumeration floor (same as NEARDUP_COS so the curve reuses the
+# block-join pair space 1:1)
+_CURVE_BPS = (40, 45, 50, 55, 60)
+
+
+def _curve_oracle() -> str:
+    base = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS s
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+),
+vbest AS (
+  SELECT vec, MAX(s) AS best FROM (
+    SELECT vec_a AS vec, s FROM p UNION ALL SELECT vec_b, s FROM p
+  ) GROUP BY vec
+)
+"""
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({bp / 100.0} AS DOUBLE) AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE s >= {bp / 100.0}) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vbest WHERE best >= {bp / 100.0}) AS n_vecs"""
+        for bp in _CURVE_BPS
+    )
+    return base + selects
+
+
+@query(
+    "neardup_threshold_curve",
+    oracle=_curve_oracle(),
+    tags=("similarity", "dedup", "A2"),
+)
+def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for choosing a semantic-dedup threshold: for
+    each candidate cosine cutoff, how many pairs would be merged and
+    how many vectors have at least one partner above it — the curve a
+    pipeline owner reads before committing to a threshold (too low
+    merges distinct content, too high leaves near-dups in the training
+    set; the knee of n_vecs(threshold) is the usual pick).
+
+    One pass over the block-partitioned pair space at the LOWEST grid
+    point (reusing `embedding_neardup_pairs`' equi-join enumeration),
+    then two tiny aggregates — per-threshold conditional sums and a
+    per-vector best-partner rollup — stacked into the 5-row curve. No
+    joins beyond the pair enumeration itself; raising the grid density
+    adds expressions, not passes. Comparisons use the 4dp-rounded sim
+    both engines share, so counts at the cut boundaries are exact."""
+    p = _block_pair_sims(spark, sf_dir, NEARDUP_COS)
+    pair_sums = p.agg(
+        *[
+            F.sum((F.col("cos_sim") >= F.lit(bp / 100.0)).cast("long")).alias(
+                f"np_{bp}"
+            )
+            for bp in _CURVE_BPS
+        ]
+    )
+    vbest = (
+        p.select(
+            F.explode(F.array("vec_a", "vec_b")).alias("vec"), F.col("cos_sim")
+        )
+        .groupBy("vec")
+        .agg(F.max("cos_sim").alias("best"))
+    )
+    vec_sums = vbest.agg(
+        *[
+            F.sum((F.col("best") >= F.lit(bp / 100.0)).cast("long")).alias(
+                f"nv_{bp}"
+            )
+            for bp in _CURVE_BPS
+        ]
+    )
+    wide = pair_sums.crossJoin(F.broadcast(vec_sums))  # 1 row x 1 row
+    stack_args = ", ".join(
+        f"CAST({bp / 100.0} AS DOUBLE), np_{bp}, nv_{bp}" for bp in _CURVE_BPS
+    )
+    return wide.selectExpr(
+        f"stack({len(_CURVE_BPS)}, {stack_args}) AS (threshold, n_pairs, n_vecs)"
     )

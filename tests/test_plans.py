@@ -132,6 +132,7 @@ _BNLJ_OK = {
     "lm_bigram_cross_entropy",  # 1-row vocabulary-size scalar attach
     "temperature_mixture_rates",  # 1-row corpus-totals scalar attach
     "triangle_count_cosupply",  # 1-row nodes/edges/tri/wedge scalar attaches
+    "neardup_threshold_curve",  # 1-row x 1-row conditional-sum attach
 }
 # (negative_sample_pairs' broadcast cross join needs no entry: its ML
 # tag already excludes it from the audit, like the other ML queries)
@@ -274,6 +275,9 @@ _SHUFFLE_BUDGETS = {
     "bpe_pair_counts": 1,              # one map-side-combined pair agg; top-k is TakeOrdered
     "embedding_label_centroids": 3,    # per-vec agg + (label,dim) agg + label join
     "zorder_layout_audit": 1,          # all three global windows share one exchange
+    "table_profile": 2,                # ONE 6-distinct Expand agg (partial + final)
+    "table_diff_audit": 3,             # one hash exchange per snapshot side + 1-row agg
+    "neardup_threshold_curve": 7,      # block pair join (2 sides) + vbest + 1-row sums
 }
 
 
@@ -368,3 +372,56 @@ def test_load_handles_both_timestamp_flavors(spark, tmp_path):
             expected = got
         else:
             assert got == expected, f"{flavor} values diverge: {got} vs {expected}"
+
+
+def test_dpp_prunes_partitions(spark):
+    """dpp_partitioned_join's fact scan must be pruned at RUNTIME: the
+    PartitionFilters carry a dynamicpruningexpression and — because the
+    dim filter is a data-dependent aggregate (odd daily totals), not a
+    function of ds — NO static ds predicate. A static predicate there
+    would mean Catalyst could infer the day set without running the
+    dim, i.e. the DPP demonstration would be decorative."""
+    import re as _re
+
+    from big_data_competition_dxc_spark.operators.dpp import dpp_join_frames
+
+    joined, cleanup = dpp_join_frames(spark, SF_TEST_DIR)
+    try:
+        phys = joined._jdf.queryExecution().executedPlan().toString()
+        m = _re.search(r"PartitionFilters: \[[^\]]*\]", phys)
+        assert m, "fact scan lost its partitioned layout"
+        pf = m.group(0)
+        assert "dynamicpruningexpression" in pf
+        # nothing but the null guard and the runtime subquery
+        inner = pf.split("[", 1)[1].rstrip("]")
+        static = [
+            p
+            for p in inner.split(", ")
+            if "dynamicpruning" not in p and "isnotnull" not in p
+        ]
+        assert not static, f"static ds predicates leaked into the scan: {static}"
+    finally:
+        cleanup()
+
+
+def test_bucket_pruning_selects_buckets(spark):
+    """bucket_pruned_scan's bucketed read must prune: the scan reports
+    SelectedBucketsCount strictly below the table's bucket count — the
+    hash-index access path the layout buys for point lookups."""
+    import re as _re
+
+    from big_data_competition_dxc_spark.operators.bucketing import (
+        N_BUCKETS,
+        bucket_pruned_scan_frames,
+    )
+
+    joined, cleanup = bucket_pruned_scan_frames(spark, SF_TEST_DIR)
+    try:
+        plan = _formatted(joined)
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "scan lost its bucketed layout (no SelectedBucketsCount)"
+        selected, total = int(m.group(1)), int(m.group(2))
+        assert total == N_BUCKETS
+        assert selected < total, f"no pruning: {selected}/{total}"
+    finally:
+        cleanup()
