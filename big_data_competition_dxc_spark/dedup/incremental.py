@@ -105,6 +105,60 @@ LEFT JOIN best b ON b.doc_d = dd.doc_id AND b.rn = 1
 """
 
 
+def verify_decisions(
+    cand: DataFrame,
+    sh_d: DataFrame,
+    sh_c: DataFrame,
+    delta_ids: DataFrame,
+) -> DataFrame:
+    """LSH candidates -> verified per-delta-doc ingest decisions.
+
+    ``cand`` is (doc_d, doc_c) candidate pairs, ``sh_d``/``sh_c`` the
+    exploded shingle frames the two sides' exact Jaccard reads (the
+    batch pipeline passes the SAME frame twice; the streaming ingest
+    passes the micro-batch's shingles and the cached corpus index),
+    ``delta_ids`` the full delta doc_id set (novel docs must surface
+    with NULL matches). ONE aggregation yields both the match count
+    and the best match: max over (jaccard, -doc_c) structs is the same
+    argmax a ROW_NUMBER(ORDER BY jaccard DESC, doc_c) picks, and
+    collapsing the count-groupBy + rank-window pair into this single
+    pass halves the pipeline — `ver` used to be scanned once per
+    branch, recomputing the whole candidate+verify pipeline (r6;
+    measured 4.4s -> ~2.9s at sf0.1)."""
+    sizes_d = sh_d.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh_d.alias("x"), sh_c.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_d"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_c")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_d", "doc_c")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * F.lit(1.0) / (F.col("nd") + F.col("nc") - F.col("i"))
+    ver = (
+        inter.join(sizes_d.select(F.col("doc_id").alias("doc_d"), F.col("n").alias("nd")), "doc_d")
+        .join(sizes_c.select(F.col("doc_id").alias("doc_c"), F.col("n").alias("nc")), "doc_c")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_d", "doc_c", round_to(jac, 4).alias("jaccard"))
+    )
+    agg = ver.groupBy("doc_d").agg(
+        F.count("*").alias("n_matches"),
+        F.max(F.struct(F.col("jaccard"), (-F.col("doc_c")).alias("neg_c"))).alias(
+            "top"
+        ),
+    )
+    return (
+        delta_ids.join(agg, delta_ids.doc_id == agg.doc_d, "left")
+        .drop("doc_d")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_corpus_matches"),
+            (-F.col("top.neg_c")).cast("bigint").alias("best_match"),
+            F.col("top.jaccard").alias("best_jaccard"),
+        )
+    )
+
+
 def _incremental_pipeline(
     spark: SparkSession, sf_dir: str, is_delta: Column
 ) -> DataFrame:
@@ -124,45 +178,8 @@ def _incremental_pipeline(
         .select(F.col("d.doc_id").alias("doc_d"), F.col("c.doc_id").alias("doc_c"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_d"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_c")) & (F.col("y.s") == F.col("x.s")))
-        .groupBy("doc_d", "doc_c")
-        .agg(F.count("*").alias("i"))
-    )
-    jac = F.col("i") * F.lit(1.0) / (F.col("nd") + F.col("nc") - F.col("i"))
-    ver = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_d"), F.col("n").alias("nd")), "doc_d")
-        .join(sizes.select(F.col("doc_id").alias("doc_c"), F.col("n").alias("nc")), "doc_c")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_d", "doc_c", round_to(jac, 4).alias("jaccard"))
-    )
-    # ONE aggregation yields both the match count and the best match:
-    # max over (jaccard, -doc_c) structs is the same argmax the oracle's
-    # ROW_NUMBER picks (highest jaccard, lowest doc_c tie-break), and
-    # collapsing the former count-groupBy + rank-window pair into this
-    # single pass halves the query — `ver` used to be scanned once per
-    # branch, recomputing the whole candidate+verify pipeline (r6;
-    # measured 4.4s -> ~2.5s at sf0.1).
-    agg = ver.groupBy("doc_d").agg(
-        F.count("*").alias("n_matches"),
-        F.max(F.struct(F.col("jaccard"), (-F.col("doc_c")).alias("neg_c"))).alias(
-            "top"
-        ),
-    )
     delta_ids = docs.select("doc_id").filter(is_delta)
-    out = (
-        delta_ids.join(agg, delta_ids.doc_id == agg.doc_d, "left")
-        .drop("doc_d")
-        .select(
-            "doc_id",
-            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_corpus_matches"),
-            (-F.col("top.neg_c")).cast("bigint").alias("best_match"),
-            F.col("top.jaccard").alias("best_jaccard"),
-        )
-    )
+    out = verify_decisions(cand, sh, sh, delta_ids)
     # same session hygiene as minhash_dedup_verified: materialize the
     # small per-delta-doc decision frame while the shingle cache is hot,
     # then release the cache

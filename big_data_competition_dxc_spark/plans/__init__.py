@@ -75,6 +75,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.textops.lm_quality",
         # --- round-6 additions (never yet in a driver window) ---
         "big_data_competition_dxc_spark.operators.dpp",
+        "big_data_competition_dxc_spark.streaming.dedup_ingest",
         # --- round-5 additions (never yet in a driver window) ---
         "big_data_competition_dxc_spark.operators.analytic_extras",
         "big_data_competition_dxc_spark.textops.diversity",

@@ -386,3 +386,25 @@ def test_table_profile_invariants(spark):
         assert int(r["min_render"]) <= int(r["max_render"])
     assert by_col["o_orderstatus"]["min_render"] <= by_col["o_orderstatus"]["max_render"]
     assert by_col["o_orderdate"]["min_render"] <= by_col["o_orderdate"]["max_render"]
+
+
+def test_stream_incremental_dedup_really_microbatches(spark):
+    """The streaming ingest dedup must (a) reproduce the batch
+    pipeline's decisions exactly and (b) actually run as SEVERAL
+    micro-batches — one per staged slice — otherwise the equivalence
+    claim is vacuous (a single availableNow batch IS the batch
+    pipeline)."""
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.streaming import dedup_ingest
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in plans.QUERIES["stream_incremental_dedup"].fn(spark, sf).collect()
+    }
+    assert len(dedup_ingest.LAST_BATCH_IDS) == dedup_ingest.INGEST_SLICES
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in plans.QUERIES["incremental_dedup_fixed_delta"].fn(spark, sf).collect()
+    }
+    assert got == want
