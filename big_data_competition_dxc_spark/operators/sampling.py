@@ -15,7 +15,11 @@ Two flavors, both reproducible:
 
 Also here: approx_count_distinct, the sketch the exact distinct-count
 queries document as their scale path — checked against the exact
-answer within HLL tolerance.
+answer within HLL tolerance — and the MERGEABLE DataSketches form
+(`hll_sketch_rollup`): per-day sketches unioned into an all-days
+estimate without rescanning raw events, the stored-sketch
+architecture a 100 TB deployment answers distinct-over-any-window
+with.
 """
 
 from __future__ import annotations
@@ -324,3 +328,75 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .between(F.col("p99_lo"), F.col("p99_hi"))
         .alias("p99_within_rank_eps"),
     )
+
+
+@query(
+    "hll_sketch_rollup",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+           <= {HLL_REL_BOUND} * COUNT(DISTINCT user_id) AS sketch_within_bound
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT * FROM daily
+UNION ALL
+SELECT 'ALL',
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= {HLL_REL_BOUND} * COUNT(DISTINCT user_id)
+FROM events
+""",
+    tags=("A8", "sketch", "scale"),
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    built into Spark 4: hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate): one sketch per day, then the ALL-days
+    distinct-user estimate produced by UNIONING the stored daily
+    sketches — the raw events are NOT rescanned for the rollup, which
+    is the whole point: a 100 TB deployment stores one small sketch
+    per (day, dimension) and answers distinct-over-any-window by
+    merging sketches, never by re-aggregating history
+    (`approx_distinct_check` measures the one-shot sketch; THIS query
+    proves the mergeability property the stored-sketch architecture
+    depends on). Contract follows the published sketch pattern: exact
+    counts hash-compare cross-engine, and each engine verifies its OWN
+    sketch estimate against the shared exact answer within
+    {HLL_REL_BOUND} relative error — per day AND for the merged ALL
+    row (a broken union would blow the ALL bound even with every
+    per-day sketch healthy)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("ds"), "user_id"
+    )
+    daily = ev.groupBy("ds").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        F.col("ds").cast("string").alias("scope"),
+        "exact_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.col("sk")) - F.col("exact_users")
+            )
+            <= F.lit(HLL_REL_BOUND) * F.col("exact_users")
+        ).alias("sketch_within_bound"),
+    )
+    # the rollup: merge the DAILY SKETCHES (not the raw events)
+    merged = daily.agg(
+        F.hll_union_agg("sk").alias("sk_all"),
+        # exact global distinct needs the raw frame once (the sketches
+        # can't give exactness); computed here so the oracle can pin it
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    all_row = merged.crossJoin(F.broadcast(exact_all)).select(
+        F.lit("ALL").alias("scope"),
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate(F.col("sk_all")) - F.col("exact_users"))
+            <= F.lit(HLL_REL_BOUND) * F.col("exact_users")
+        ).alias("sketch_within_bound"),
+    )
+    return per_day.unionAll(all_row)
