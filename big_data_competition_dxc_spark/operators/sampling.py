@@ -400,3 +400,137 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sketch_within_bound"),
     )
     return per_day.unionAll(all_row)
+
+
+@query(
+    "bitmap_distinct_rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT * FROM daily
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+""",
+    tags=("A8", "sketch", "scale"),
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark 4 bitmap aggregates —
+    the precise counterpart to `hll_sketch_rollup`'s approximate
+    sketches: user ids bucket into fixed-width bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), one bitmap per
+    (day, bucket) via bitmap_construct_agg, per-day exact distinct =
+    sum of bitmap_count over the day's buckets, and the ALL-days exact
+    distinct comes from bitmap_or_agg MERGING the stored per-day
+    bitmaps per bucket — never re-reading raw events. Unlike HLL this
+    is exact, so the oracle hash-compares the COUNTS THEMSELVES, not
+    error-bound booleans. At 100 TB the stored layout is one bitmap
+    row per (day, dimension, bucket): distinct-over-any-window is an
+    OR-merge + popcount over the window's bitmap rows — integer-keyed
+    ids only (the dense-id assumption is the operator's documented
+    contract; string keys first map through a dictionary join)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("ds"), "user_id"
+    )
+    per_bucket = ev.groupBy(
+        "ds", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    per_day = per_bucket.groupBy("ds").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    ).select(
+        F.col("ds").cast("string").alias("scope"),
+        F.col("n_users").cast("bigint"),
+    )
+    # the rollup: OR-merge the STORED per-(day, bucket) bitmaps
+    all_row = (
+        per_bucket.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm_all"))
+        .agg(F.sum(F.bitmap_count("bm_all")).alias("n_users"))
+        .select(F.lit("ALL").alias("scope"), F.col("n_users").cast("bigint"))
+    )
+    return per_day.unionAll(all_row)
+
+
+# Theta sketches estimate ~1.6% rsd at default lgK; intersections
+# compound the error of both inputs, so the published bound is looser
+# than the single-sketch HLL bound. (At the fixtures' daily-active
+# cardinalities the sketch is still in exact mode — below its nominal
+# entries — so the bound binds deterministically.)
+THETA_REL_BOUND = 0.10
+
+
+@query(
+    "theta_overlap_check",
+    oracle=f"""
+WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events),
+a AS (SELECT DISTINCT user_id FROM events, d0 WHERE CAST(ts AS DATE) = d),
+b AS (SELECT DISTINCT user_id FROM events, d0 WHERE CAST(ts AS DATE) = d + 1),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM a JOIN b USING (user_id))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+       (SELECT n_overlap FROM x) AS exact_overlap,
+       TRUE AS overlap_within_bound
+""",
+    tags=("A8", "sketch", "U2"),
+)
+def theta_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returning-user overlap between the fixture's FIRST and SECOND
+    day via DataSketches Theta sketches — the set-algebra member of
+    the sketch family: HLL/bitmap union-merge, but only Theta supports
+    INTERSECTION, the primitive behind retention estimates when
+    windows are stored as sketches instead of raw id sets. Day-1 vs
+    day-2 audiences overlap only PARTIALLY (~80% of users are active
+    on a given fixture day), so the intersection genuinely binds —
+    a half-vs-half split saturates (every user active in both halves)
+    and would pass with a broken intersection. One sketch per day,
+    theta_intersection_agg over the pair, estimate checked against the
+    exact overlap (the distinct self-join the sketch replaces) within
+    {THETA_REL_BOUND} relative error. Contract: exact window and
+    overlap cardinalities hash-compare cross-engine; Spark verifies
+    its OWN sketch against the shared exact answer (DuckDB ships no
+    Theta implementation, so the oracle's TRUE literal is the verdict
+    the Spark side must reach)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("ds"), "user_id"
+    )
+    d0 = ev.agg(F.min("ds").alias("d"))
+    tagged = (
+        ev.join(F.broadcast(d0))
+        .filter((F.col("ds") == F.col("d")) | (F.col("ds") == F.date_add("d", 1)))
+        .withColumn("win", F.when(F.col("ds") == F.col("d"), "a").otherwise("b"))
+    )
+    sketches = tagged.groupBy("win").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    inter_est = sketches.agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("est")
+    )
+    exact_overlap = (
+        tagged.select("win", "user_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_wins"))
+        .filter(F.col("n_wins") == 2)
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    wide = (
+        sketches.groupBy()
+        .pivot("win", ["a", "b"])
+        .agg(F.first("exact"))
+        .crossJoin(F.broadcast(inter_est))
+        .crossJoin(F.broadcast(exact_overlap))
+    )
+    return wide.select(
+        F.col("a").cast("bigint").alias("exact_a"),
+        F.col("b").cast("bigint").alias("exact_b"),
+        F.col("exact_overlap").cast("bigint"),
+        (
+            F.abs(F.col("est") - F.col("exact_overlap"))
+            <= F.lit(THETA_REL_BOUND) * F.col("exact_overlap")
+        ).alias("overlap_within_bound"),
+    )
