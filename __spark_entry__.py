@@ -91,12 +91,19 @@ def _rotation_order() -> list[str]:
             latest[name] = errored or mismatched
             latest_round[name] = _round_no(path)
     # Queries whose published contract (result schema or oracle) changed
-    # since their last driver record: a green row from the OLD contract
-    # proves nothing about the new one, so they rank with stale-fail.
-    # Maintained by hand when a round edits a driver-green query.
+    # in a given round: a green row recorded BEFORE that round proves
+    # nothing about the new contract, so they rank with stale-fail until
+    # the driver samples them at or after the bump round (a static set
+    # would pin them to the window head forever). Maintained by hand
+    # when a round edits a driver-green query.
+    contract_bump_round = {
+        "q12_priority_by_linestatus": 6,  # r6: sums CAST AS BIGINT, DATE window, TRIM
+        "stratified_sample": 6,  # r6: seeded sampleBy -> deterministic hash threshold
+    }
     contract_bumped = {
-        "q12_priority_by_linestatus",  # r6: sums CAST AS BIGINT, DATE window, TRIM
-        "stratified_sample",  # r6: seeded sampleBy -> deterministic hash threshold
+        n
+        for n, rnd in contract_bump_round.items()
+        if latest_round.get(n, -1) < rnd
     }
     names = list(plans.QUERIES)
     stale_fail = [n for n in names if latest.get(n) or n in contract_bumped]
