@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return daily_user_rollup(spark, "/root/testdata/sf0.001")
 
 
-def _rotation_order() -> list[str]:
+def _rotation_order(history_dir: str | None = None) -> list[str]:
     """Registry names ordered stale-err first, then never-driver-checked.
 
     The driver's correctness gate samples ~50 queries per round from the
@@ -60,7 +60,7 @@ def _rotation_order() -> list[str]:
         digits = "".join(ch for ch in stem if ch.isdigit())
         return int(digits) if digits else -1
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = history_dir or os.path.dirname(os.path.abspath(__file__))
     for path in sorted(
         glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
     ):
@@ -99,6 +99,10 @@ def _rotation_order() -> list[str]:
     contract_bump_round = {
         "q12_priority_by_linestatus": 6,  # r6: sums CAST AS BIGINT, DATE window, TRIM
         "stratified_sample": 6,  # r6: seeded sampleBy -> deterministic hash threshold
+        # its only driver record (r2) is the pre-pairing no_oracle
+        # sentinel; the hash contract added later has never been
+        # driver-proven, so force a sample at/after r7.
+        "approx_distinct_check": 7,
     }
     contract_bumped = {
         n
