@@ -155,18 +155,29 @@ def main() -> None:
         if total <= 0 or probe <= 0:
             return None
         return round(total * PROBE_BASELINE / probe, 2)
-    def gated_block(block_dir: str) -> dict:
+    def gated_block(block_dir: str, min_attempts: int = 1) -> dict:
         """Run one headline block under the noise gate, retrying up to
         MAX_ATTEMPTS until an attempt is clean; if none is, keep the
         fastest attempt and record accepted=False. BOTH the main sf0.1
         block and the sf1 scale block go through this — round 4
         published a scale block with steal=1706 whose contaminated
         ratios contradicted SCALING.md, exactly because the gate only
-        wrapped the main block."""
+        wrapped the main block.
+
+        ``min_attempts``: run at least this many attempts even when the
+        first is gate-clean, and publish per-query MIN across attempts
+        (``queries_min``). The r6 canonical scale block recorded
+        corpus_curation_pipeline at 10.95s while a same-session dev run
+        on the identical plan read 4.26s — block-level probe
+        normalization can't re-scale PER-QUERY jitter, so the scale
+        block (whose per-query 10x ratios are the artifact's whole
+        point) now takes the min of two attempts; a transient that
+        inflates one attempt can't masquerade as superlinear growth."""
         best: dict = {}
         attempts = []
+        all_timings: list[dict] = []
         _warm_tables(block_dir)
-        for _att in range(MAX_ATTEMPTS):
+        for _att in range(max(MAX_ATTEMPTS, min_attempts)):
             probe_a = _cpu_probe()
             steal0 = _steal_jiffies()
             timings_a, rows_a, total_a = run_block(block_dir)
@@ -174,6 +185,7 @@ def main() -> None:
             attempts.append(
                 {"value": total_a, "steal_jiffies": steal_a, "cpu_probe_sec": probe_a}
             )
+            all_timings.append(timings_a)
             clean = 0 <= steal_a < STEAL_GATE and probe_a < PROBE_GATE
             if clean or not best or total_a < best["total"]:
                 best = {
@@ -184,16 +196,38 @@ def main() -> None:
                     "probe": probe_a,
                     "accepted": clean,
                 }
-            if clean:
+            if clean and len(all_timings) >= min_attempts:
                 break
-            print(
-                f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — retrying",
-                file=sys.stderr,
-            )
+            if not clean:
+                print(
+                    f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — retrying",
+                    file=sys.stderr,
+                )
         best["attempts"] = attempts
+        qmin: dict[str, float] = {}
+        for t in all_timings:
+            for n, v in t.items():
+                if v > 0 and (n not in qmin or v < qmin[n]):
+                    qmin[n] = v
+        best["queries_min"] = {
+            n: qmin.get(n, best["timings"][n]) for n in best["timings"]
+        }
         return best
 
+    def _clear_session_memos() -> None:
+        """Between blocks: drop ml/recommend.py's session memos (cached
+        DataFrames keyed by (session, sf_dir)) — the next block uses a
+        different sf_dir, so the previous block's memo entries are dead
+        weight pinning executor memory for the rest of the process."""
+        try:
+            from big_data_competition_dxc_spark.ml.recommend import clear_memos
+
+            clear_memos()
+        except Exception:  # noqa: BLE001 - cleanup must never fail the bench
+            pass
+
     main_run = gated_block(sf_dir)
+    _clear_session_memos()
     timings = main_run["timings"]
     total = main_run["total"]
     steal_main = main_run["steal"]
@@ -219,18 +253,23 @@ def main() -> None:
                 print(f"# scale-data generation failed: {exc}", file=sys.stderr)
                 sf1_dir = None
         if sf1_dir and os.path.isdir(sf1_dir):
-            sc = gated_block(sf1_dir)
+            sc = gated_block(sf1_dir, min_attempts=2)
+            _clear_session_memos()
             sc_timings, sc_rows = sc["timings"], sc["rows"]
+            sc_min, main_min = sc["queries_min"], main_run["queries_min"]
             main_rows = main_run["rows"]
             scale_check = {
                 "sf": 1.0,
                 "value": sc["total"],
                 "unit": "sec",
                 "queries": sc_timings,
+                # per-query min across the block's attempts — the number
+                # ratios are computed from (see gated_block docstring)
+                "queries_min_of_attempts": sc_min,
                 "ratio_vs_main": {
                     n: (
-                        round(sc_timings[n] / timings[n], 1)
-                        if timings.get(n, 0) > 0 and sc_timings[n] > 0
+                        round(sc_min[n] / main_min[n], 1)
+                        if main_min.get(n, 0) > 0 and sc_min.get(n, 0) > 0
                         else None
                     )
                     for n in sc_timings

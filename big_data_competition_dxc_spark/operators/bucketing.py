@@ -39,20 +39,6 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str):
     Returns (joined_df, cleanup) — call cleanup() once the result is
     materialized to drop the scratch tables and files."""
     base = tempfile.mkdtemp(prefix="bucketed_")
-    for name, src, key in (
-        ("bt_orders", load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"), "o_orderkey"),
-        ("bt_lineitem", load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"), "l_orderkey"),
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            src.write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .option("path", f"{base}/{name}")
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
-    o = spark.table("bt_orders")
-    l = spark.table("bt_lineitem")
 
     def cleanup() -> None:
         import shutil
@@ -61,6 +47,24 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str):
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
         shutil.rmtree(base, ignore_errors=True)
 
+    try:
+        for name, src, key in (
+            ("bt_orders", load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"), "o_orderkey"),
+            ("bt_lineitem", load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"), "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                src.write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", f"{base}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        o = spark.table("bt_orders")
+        l = spark.table("bt_lineitem")
+    except BaseException:
+        cleanup()
+        raise
     return o.join(l, o.o_orderkey == l.l_orderkey), cleanup
 
 
@@ -70,12 +74,14 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — pay the layout shuffle once at write, join shuffle-free
     forever after. Result identical to the plain join (the oracle)."""
     joined, cleanup = bucketed_join_frames(spark, sf_dir)
-    out = joined.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_items"),
-        fixed_sum(F.col("l_extendedprice"), 2, 2).alias("revenue"),
-    )
-    rows = out.collect()
-    cleanup()
+    try:
+        out = joined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_items"),
+            fixed_sum(F.col("l_extendedprice"), 2, 2).alias("revenue"),
+        )
+        rows = out.collect()
+    finally:
+        cleanup()
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_items bigint, revenue double"
     )
@@ -148,25 +154,6 @@ def bucket_pruned_scan_frames(spark: SparkSession, sf_dir: str):
     base = tempfile.mkdtemp(prefix="bucketprune_")
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     old_auto = spark.conf.get(auto_key, "true")
-    spark.conf.set(auto_key, "false")
-    spark.sql("DROP TABLE IF EXISTS bp_lineitem")
-    (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice")
-        .write.bucketBy(N_BUCKETS, "l_orderkey")
-        .option("path", f"{base}/bp_lineitem")
-        .mode("overwrite")
-        .saveAsTable("bp_lineitem")
-    )
-    li = spark.table("bp_lineitem").filter(
-        F.col("l_orderkey").isin(*_PROBE_KEYS)
-    )
-    orders = load(spark, sf_dir, "orders").select("o_orderkey").filter(
-        F.col("o_orderkey").isin(*_PROBE_KEYS)
-    )
-    joined = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
-    )
 
     def cleanup() -> None:
         import shutil
@@ -175,6 +162,29 @@ def bucket_pruned_scan_frames(spark: SparkSession, sf_dir: str):
         spark.sql("DROP TABLE IF EXISTS bp_lineitem")
         shutil.rmtree(base, ignore_errors=True)
 
+    spark.conf.set(auto_key, "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS bp_lineitem")
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .option("path", f"{base}/bp_lineitem")
+            .mode("overwrite")
+            .saveAsTable("bp_lineitem")
+        )
+        li = spark.table("bp_lineitem").filter(
+            F.col("l_orderkey").isin(*_PROBE_KEYS)
+        )
+        orders = load(spark, sf_dir, "orders").select("o_orderkey").filter(
+            F.col("o_orderkey").isin(*_PROBE_KEYS)
+        )
+        joined = li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        )
+    except BaseException:
+        cleanup()
+        raise
     return joined, cleanup
 
 
@@ -195,12 +205,14 @@ def bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, bucketing prunes by HASH for arbitrary key lookups. The
     oracle computes the same totals from the pristine tables."""
     joined, cleanup = bucket_pruned_scan_frames(spark, sf_dir)
-    agg = joined.groupBy("o_orderkey").agg(
-        F.count("*").alias("n_items"),
-        fixed_sum(F.col("l_extendedprice"), 2, 2).alias("revenue"),
-    )
-    rows = agg.collect()
-    cleanup()
+    try:
+        agg = joined.groupBy("o_orderkey").agg(
+            F.count("*").alias("n_items"),
+            fixed_sum(F.col("l_extendedprice"), 2, 2).alias("revenue"),
+        )
+        rows = agg.collect()
+    finally:
+        cleanup()
     return spark.createDataFrame(
         rows, "o_orderkey bigint, n_items bigint, revenue double"
     )

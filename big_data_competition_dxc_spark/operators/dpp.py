@@ -73,25 +73,29 @@ def dpp_join_frames(spark: SparkSession, sf_dir: str):
         fixed_sum(F.col("value"), 2, 2).alias("total_value"),
     )
     out = tempfile.mkdtemp(prefix="dpp_fact_")
-    # one file per ds partition (the parquet_partitioned_roundtrip layout)
-    daily.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
-    fact = spark.read.parquet(out)
-    # dim: the days whose total event count is odd — knowable only by
-    # aggregating the data, so no static rewrite can reach the fact scan
-    odd_days = (
-        spark.read.parquet(out)
-        .groupBy("ds")
-        .agg(F.sum("n_events").alias("n_day"))
-        .filter(F.col("n_day") % 2 == 1)
-        .select("ds")
-    )
-    joined = fact.join(F.broadcast(odd_days), "ds")
 
     def cleanup() -> None:
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
 
+    try:
+        # one file per ds partition (the parquet_partitioned_roundtrip layout)
+        daily.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
+        fact = spark.read.parquet(out)
+        # dim: the days whose total event count is odd — knowable only by
+        # aggregating the data, so no static rewrite can reach the fact scan
+        odd_days = (
+            spark.read.parquet(out)
+            .groupBy("ds")
+            .agg(F.sum("n_events").alias("n_day"))
+            .filter(F.col("n_day") % 2 == 1)
+            .select("ds")
+        )
+        joined = fact.join(F.broadcast(odd_days), "ds")
+    except BaseException:
+        cleanup()
+        raise
     return joined, cleanup
 
 
@@ -109,13 +113,15 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events with the same HAVING predicate, so the pruned read must
     be value-identical to the full scan."""
     joined, cleanup = dpp_join_frames(spark, sf_dir)
-    agg = joined.groupBy("event_type").agg(
-        F.count("*").alias("n_days"),
-        F.sum("n_events").alias("n_events"),
-        fixed_sum(F.col("total_value"), 2, 2).alias("total_value"),
-    )
-    rows = agg.collect()
-    cleanup()
+    try:
+        agg = joined.groupBy("event_type").agg(
+            F.count("*").alias("n_days"),
+            F.sum("n_events").alias("n_events"),
+            fixed_sum(F.col("total_value"), 2, 2).alias("total_value"),
+        )
+        rows = agg.collect()
+    finally:
+        cleanup()
     return spark.createDataFrame(
         rows,
         "event_type string, n_days bigint, n_events bigint, total_value double",

@@ -427,3 +427,37 @@ def test_bucket_pruning_selects_buckets(spark):
         assert selected < total, f"no pruning: {selected}/{total}"
     finally:
         cleanup()
+
+
+def test_stream_dedup_probe_has_no_corpus_exchange(spark):
+    """The streaming ingest's per-batch candidate probe must read the
+    PERSISTED corpus band index bucketed and shuffle ONLY the batch
+    side: a sort-merge join with exactly one Exchange (the batch
+    bands hashing into the index's bucket layout) and the stored
+    table scanned with Bucketed: true. This is the plan contract that
+    makes per-ingest cost O(|batch|) instead of O(|corpus|)."""
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.streaming import dedup_ingest
+
+    df = plans.QUERIES["stream_incremental_dedup"].fn(spark, SF_TEST_DIR)
+    assert df.count() > 0
+    assert len(dedup_ingest.LAST_PROBE_PLANS) == dedup_ingest.INGEST_SLICES
+    for p in dedup_ingest.LAST_PROBE_PLANS:
+        assert "SortMergeJoin" in p
+        assert "stream_corpus_bands" in p
+        assert "Bucketed: true" in p, "corpus index not read bucketed"
+        # In the tree section the SMJ's left (batch) child's lines carry
+        # the ':' connector; the right (corpus) child's lines are the
+        # trailing '+-' lines with no ':' in their indent. The batch side
+        # legitimately shuffles (its own signature agg + the probe
+        # repartition into the index's buckets); the corpus side must not.
+        tree = p.split("\n\n")[0]
+        corpus_lines = [
+            line
+            for line in tree.splitlines()
+            if "+-" in line and ":" not in line.split("+-")[0]
+        ]
+        assert any("stream_corpus_bands" in line for line in corpus_lines), tree
+        assert not any("Exchange" in line for line in corpus_lines), (
+            f"corpus-side Exchange in probe plan:\n{tree}"
+        )
