@@ -103,6 +103,10 @@ def _rotation_order(history_dir: str | None = None) -> list[str]:
         # sentinel; the hash contract added later has never been
         # driver-proven, so force a sample at/after r7.
         "approx_distinct_check": 7,
+        # r7: both gained an audited determinism-scalar column (schema
+        # change) — re-prove the new shape under the driver.
+        "ml_cluster_ensemble": 7,
+        "ml_autoregressive_forecast": 7,
     }
     contract_bumped = {
         n

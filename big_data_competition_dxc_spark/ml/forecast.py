@@ -81,6 +81,14 @@ def ml_autoregressive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             # F20 (M:472): the reference bumped a cumulative feature by
             # a constant per simulated day; total_value accrues likewise.
             state[idx["total_value"]] += 5.0
+    # audited scalar (r7): the whole-horizon forecast total in integer
+    # cents is seed/model-stable (deterministic LR fit on a fixed
+    # frame + pure-Python rollout), so repeating it on every row turns
+    # the driver's rows/schema check into a determinism pin —
+    # tests/test_ml.py asserts it is identical across two runs.
+    audit_cents = int(round(sum(r[3] for r in out_rows) * 100))
     return spark.createDataFrame(
-        out_rows, "user_id bigint, horizon int, ds string, predicted_events double"
+        [(*r, audit_cents) for r in out_rows],
+        "user_id bigint, horizon int, ds string, predicted_events double, "
+        "audit_forecast_cents bigint",
     ).orderBy("user_id", "horizon")

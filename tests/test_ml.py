@@ -97,6 +97,13 @@ def test_cluster_ensemble(spark):
     rows = _run("ml_cluster_ensemble", spark).collect()
     assert len(rows) >= 1
     assert all(math.isfinite(r["mse_test"]) and r["n_test"] > 0 for r in rows)
+    # audited determinism scalar: constant across rows, consistent with
+    # the per-cluster counts, and identical on a second run (seeded
+    # KMeans + fixed split — a seed/split regression changes it)
+    audits = {r["audit_n_test_total"] for r in rows}
+    assert audits == {sum(r["n_test"] for r in rows)}
+    rows2 = _run("ml_cluster_ensemble", spark).collect()
+    assert {r["audit_n_test_total"] for r in rows2} == audits
 
 
 def test_als_recommend(spark):
@@ -112,6 +119,14 @@ def test_autoregressive_forecast(spark):
     n_users = len({r["user_id"] for r in rows})
     assert len(rows) == n_users * 7  # HORIZON rows per user
     assert all(r["predicted_events"] >= 0 for r in rows)
+    # audited determinism scalar: the whole-horizon total in cents,
+    # constant across rows, consistent with the row values, and
+    # identical on a second run (deterministic LR fit + pure rollout)
+    audits = {r["audit_forecast_cents"] for r in rows}
+    want = int(round(sum(r["predicted_events"] for r in rows) * 100))
+    assert audits == {want}
+    rows2 = _run("ml_autoregressive_forecast", spark).collect()
+    assert {r["audit_forecast_cents"] for r in rows2} == audits
 
 
 def test_ann_ivf_recall(spark):
