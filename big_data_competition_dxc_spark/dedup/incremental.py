@@ -188,6 +188,143 @@ def _incremental_pipeline(
     return out
 
 
+# --- index evolution: two consecutive ingests, the second probing an
+# index that absorbed the first's novel docs (the compaction cycle) ---
+
+ADMIT_DELTA_DOCS = 50  # phase-1 ingest: doc_id < 50
+PROBE_DELTA_DOCS = 100  # phase-2 ingest: 50 <= doc_id < 100
+
+_EVOLUTION_ORACLE = f"""
+WITH {_signature_sql()},
+bands AS ({_bands_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand1 AS (
+  SELECT DISTINCT d.doc_id AS doc_d, c.doc_id AS doc_c
+  FROM bands d JOIN bands c
+    ON d.band = c.band AND d.band_key = c.band_key
+  WHERE d.doc_id < {ADMIT_DELTA_DOCS} AND c.doc_id >= {PROBE_DELTA_DOCS}
+),
+inter1 AS (
+  SELECT c.doc_d, c.doc_c, COUNT(*) AS i
+  FROM cand1 c
+  JOIN sh x ON x.doc_id = c.doc_d
+  JOIN sh y ON y.doc_id = c.doc_c AND y.s = x.s
+  GROUP BY 1, 2
+),
+dup1 AS (
+  SELECT DISTINCT i.doc_d
+  FROM inter1 i
+  JOIN sizes sd ON i.doc_d = sd.doc_id
+  JOIN sizes sc ON i.doc_c = sc.doc_id
+  WHERE i.i * 1.0 / (sd.n + sc.n - i.i) >= {JACCARD_THRESHOLD}
+),
+admitted AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id < {ADMIT_DELTA_DOCS}
+    AND doc_id NOT IN (SELECT doc_d FROM dup1)
+),
+cand2 AS (
+  SELECT DISTINCT d.doc_id AS doc_d, c.doc_id AS doc_c
+  FROM bands d JOIN bands c
+    ON d.band = c.band AND d.band_key = c.band_key
+  WHERE d.doc_id >= {ADMIT_DELTA_DOCS} AND d.doc_id < {PROBE_DELTA_DOCS}
+    AND (c.doc_id >= {PROBE_DELTA_DOCS}
+         OR c.doc_id IN (SELECT doc_id FROM admitted))
+),
+inter2 AS (
+  SELECT c.doc_d, c.doc_c, COUNT(*) AS i
+  FROM cand2 c
+  JOIN sh x ON x.doc_id = c.doc_d
+  JOIN sh y ON y.doc_id = c.doc_c AND y.s = x.s
+  GROUP BY 1, 2
+),
+ver2 AS (
+  SELECT i.doc_d, i.doc_c,
+         {sql_round("i.i * 1.0 / (sd.n + sc.n - i.i)", 4)} AS jaccard
+  FROM inter2 i
+  JOIN sizes sd ON i.doc_d = sd.doc_id
+  JOIN sizes sc ON i.doc_c = sc.doc_id
+  WHERE i.i * 1.0 / (sd.n + sc.n - i.i) >= {JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT doc_d, doc_c, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_d
+                            ORDER BY jaccard DESC, doc_c) AS rn
+  FROM ver2
+),
+agg AS (
+  SELECT doc_d, COUNT(*) AS n_matches FROM ver2 GROUP BY doc_d
+)
+SELECT dd.doc_id,
+       CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_corpus_matches,
+       CAST(b.doc_c AS BIGINT) AS best_match,
+       b.jaccard AS best_jaccard
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id >= {ADMIT_DELTA_DOCS}
+        AND doc_id < {PROBE_DELTA_DOCS}) dd
+LEFT JOIN agg a ON a.doc_d = dd.doc_id
+LEFT JOIN best b ON b.doc_d = dd.doc_id AND b.rn = 1
+"""
+
+
+@query(
+    "dedup_index_evolution",
+    oracle=_EVOLUTION_ORACLE,
+    tags=("dedup", "minhash", "cdc", "J8", "U1"),
+)
+def dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest LIFECYCLE the single-delta variants stop short of:
+    ingest #1 (doc_id < {ADMIT_DELTA_DOCS}) is deduped against the
+    corpus (doc_id >= {PROBE_DELTA_DOCS}); its NOVEL docs (zero
+    verified matches) are ADMITTED — their band rows union into the
+    index — and ingest #2 ({ADMIT_DELTA_DOCS} <= doc_id <
+    {PROBE_DELTA_DOCS}) probes that EVOLVED index, so a phase-2 doc
+    duplicating an admitted phase-1 doc is caught (best_match <
+    {ADMIT_DELTA_DOCS}) even though neither is in the original corpus.
+    Everything stays one lazy plan: the admitted id set is a DataFrame
+    (no driver round-trip), broadcast-semi-joined onto the band frame,
+    and the evolved index is a unionByName — at warehouse scale this
+    union is the bucketed-table APPEND of the admitted docs' band rows
+    (same layout streaming/dedup_ingest.py persists), run once per
+    compaction cycle. Decision schema matches the other incremental
+    variants."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).cache()  # feeds signature + every verify side
+    bands = _band_rows(_signature(sh)).cache()  # probed by four slices
+    is_d1 = F.col("doc_id") < ADMIT_DELTA_DOCS
+    is_d2 = (F.col("doc_id") >= ADMIT_DELTA_DOCS) & (
+        F.col("doc_id") < PROBE_DELTA_DOCS
+    )
+    is_corpus = F.col("doc_id") >= PROBE_DELTA_DOCS
+    band_eq = (F.col("d.band") == F.col("c.band")) & (
+        F.col("d.band_key") == F.col("c.band_key")
+    )
+    cand1 = (
+        bands.filter(is_d1)
+        .alias("d")
+        .join(bands.filter(is_corpus).alias("c"), band_eq)
+        .select(F.col("d.doc_id").alias("doc_d"), F.col("c.doc_id").alias("doc_c"))
+        .distinct()
+    )
+    dec1 = verify_decisions(cand1, sh, sh, docs.select("doc_id").filter(is_d1))
+    admitted = dec1.filter(F.col("n_corpus_matches") == 0).select("doc_id")
+    evolved = bands.filter(is_corpus).unionByName(
+        bands.join(F.broadcast(admitted), "doc_id", "left_semi")
+    )
+    cand2 = (
+        bands.filter(is_d2)
+        .alias("d")
+        .join(evolved.alias("c"), band_eq)
+        .select(F.col("d.doc_id").alias("doc_d"), F.col("c.doc_id").alias("doc_c"))
+        .distinct()
+    )
+    dec2 = verify_decisions(cand2, sh, sh, docs.select("doc_id").filter(is_d2))
+    out = result_checkpoint(dec2)
+    bands.unpersist()
+    sh.unpersist()
+    return out
+
+
 @query(
     "incremental_minhash_dedup",
     oracle=_incremental_oracle(_IS_DELTA_SQL),

@@ -416,3 +416,27 @@ def test_stream_incremental_dedup_really_microbatches(spark):
         for r in plans.QUERIES["incremental_dedup_fixed_delta"].fn(spark, sf).collect()
     }
     assert got == want
+
+
+def test_index_evolution_catches_admitted_dups(spark):
+    """dedup_index_evolution must actively consult the EVOLVED index:
+    at sf0.001 doc 0 (phase-1, novel vs corpus, admitted) is a near-dup
+    of docs 50 and 82 (phase-2), so both must surface with an admitted
+    phase-1 doc as best_match — a regression that drops the index
+    union would still oracle-match at scales with no cross-phase dups,
+    but fails here."""
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.dedup.incremental import (
+        ADMIT_DELTA_DOCS,
+        PROBE_DELTA_DOCS,
+    )
+
+    rows = plans.QUERIES["dedup_index_evolution"].fn(spark, SF_TEST_DIR).collect()
+    assert len(rows) == PROBE_DELTA_DOCS - ADMIT_DELTA_DOCS
+    admitted_hits = {
+        r["doc_id"]: r["best_match"]
+        for r in rows
+        if r["best_match"] is not None and r["best_match"] < ADMIT_DELTA_DOCS
+    }
+    assert admitted_hits, "no phase-2 doc matched an admitted phase-1 doc"
+    assert set(admitted_hits) >= {50, 82}
