@@ -461,3 +461,58 @@ def test_stream_dedup_probe_has_no_corpus_exchange(spark):
         assert not any("Exchange" in line for line in corpus_lines), (
             f"corpus-side Exchange in probe plan:\n{tree}"
         )
+
+
+def test_bucketed_index_append_preserves_layout(spark, tmp_path):
+    """The dedup compaction cycle's storage half: APPENDING admitted
+    docs' band rows to the bucketed index table (through the catalog,
+    same bucket spec) must leave the layout intact — the post-append
+    probe still reads the table Bucketed: true with no index-side
+    Exchange, exactly like the fresh write. Complements
+    dedup_index_evolution (the query semantics) and
+    stream_incremental_dedup (the probe plan): together they make the
+    'index absorbs novel docs once per cycle' story executable end to
+    end."""
+    name = "appendable_band_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "CAST(id % 16 AS INT) AS band",
+        "md5(CAST(id AS STRING)) AS band_key",
+        "id AS doc_id",
+    )
+    try:
+        (
+            mk(0, 1000)
+            .repartition(8, "band", "band_key")
+            .write.bucketBy(8, "band", "band_key")
+            .sortBy("band", "band_key")
+            .option("path", str(tmp_path / "idx"))
+            .saveAsTable(name)
+        )
+        (
+            mk(1000, 1200)  # the admitted batch
+            .repartition(8, "band", "band_key")
+            .write.mode("append")
+            .bucketBy(8, "band", "band_key")
+            .sortBy("band", "band_key")
+            .saveAsTable(name)
+        )
+        t = spark.table(name)
+        assert t.count() == 1200  # append landed
+        probe = mk(0, 64).select("band", "band_key")
+        j = probe.join(t.alias("c").hint("merge"), ["band", "band_key"])
+        plan = _formatted(j)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        tree = plan.split("\n\n")[0]
+        idx_lines = [
+            line
+            for line in tree.splitlines()
+            if "+-" in line and ":" not in line.split("+-")[0]
+        ]
+        assert any(name in line for line in idx_lines), tree
+        assert not any("Exchange" in line for line in idx_lines), (
+            f"index-side Exchange after append:\n{tree}"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
