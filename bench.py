@@ -226,7 +226,12 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - cleanup must never fail the bench
             pass
 
-    main_run = gated_block(sf_dir)
+    # min_attempts=2 on BOTH blocks: the per-query minima that feed the
+    # 10x ratios must have symmetric warmth (with the scale block alone
+    # re-attempting, memoized queries like knn published a warm sf1 min
+    # against a cold sf0.1 single attempt — a flattering 0.4x "ratio"
+    # that measured the memo, not the scaling).
+    main_run = gated_block(sf_dir, min_attempts=2)
     _clear_session_memos()
     timings = main_run["timings"]
     total = main_run["total"]
@@ -304,6 +309,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min_of_attempts": main_run["queries_min"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # contention diagnostics (see RUN PROTOCOL in docstring):
         # hypervisor steal during the main block + a fixed pure-Python
