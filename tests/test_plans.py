@@ -461,6 +461,23 @@ def test_stream_dedup_probe_has_no_corpus_exchange(spark):
         assert not any("Exchange" in line for line in corpus_lines), (
             f"corpus-side Exchange in probe plan:\n{tree}"
         )
+    # The verify stage's corpus-text reads must be bucket-PRUNED: each
+    # batch pushes its matched doc_id set into the stored shingle table
+    # as an IN-list and the scan reads only the buckets those ids hash
+    # into — per-batch corpus-text touch is O(matched docs), never
+    # O(corpus). At least one batch must have matched (else the fixture
+    # proves nothing) and every recorded scan must select strictly
+    # fewer buckets than the table has.
+    import re as _re
+
+    assert dedup_ingest.LAST_VERIFY_PLANS, "no batch matched any corpus doc"
+    for p in dedup_ingest.LAST_VERIFY_PLANS:
+        assert "stream_corpus_shingles" in p
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+        assert m, f"verify scan lost bucket pruning:\n{p}"
+        selected, total = int(m.group(1)), int(m.group(2))
+        assert total == dedup_ingest.N_SHINGLE_BUCKETS
+        assert selected < total, f"no pruning: {selected}/{total}"
 
 
 def test_bucketed_index_append_preserves_layout(spark, tmp_path):
