@@ -9,6 +9,8 @@ registers a ``queries()`` entry there and, when SQL-expressible, a DuckDB
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 from collections.abc import Callable
@@ -18,6 +20,47 @@ from pyspark.sql import DataFrame, SparkSession
 from big_data_competition_dxc_spark import plans
 
 plans.load_all()
+
+#: Sidecar recording, per query, the contract fingerprint that was
+#: current when the driver last proved the query green. Written by
+#: ``scripts/update_contracts.py`` (run at ROUND START, before any
+#: edits, when the tree is still byte-identical to what the driver
+#: tested); read by ``_rotation_order``.
+CONTRACTS_FILE = "CONTRACTS.json"
+
+
+def _fingerprint(entry: plans.QueryEntry) -> str:
+    """Computed contract fingerprint: hash of the oracle SQL plus the
+    query function's source. Any edit to either (schema aliases, new
+    audited columns, a rewritten implementation) changes the hash, so
+    a driver-green row recorded against the OLD fingerprint no longer
+    vouches for the query — ``_rotation_order`` ranks it stale-fail
+    until the driver re-proves it. Replaces the hand-maintained
+    ``contract_bump_round`` dict, whose failure mode (a rewrite nobody
+    remembered to bump — r7's stream_incremental_dedup) was exactly
+    that it relied on a human noticing the change."""
+    try:
+        src = inspect.getsource(entry.fn)
+    except (OSError, TypeError):  # builtins / REPL-defined: fall back
+        src = repr(entry.fn)
+    payload = (entry.oracle or "<rows-only>") + "\x00" + src
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _record_succeeded(rec: object) -> bool:
+    """True if a CORRECTNESS record is a successful run: rows-only
+    queries store the sentinel err='no_oracle' on SUCCESS; any recorded
+    False verdict (the r5 q12 lesson: hash mismatch with err=null) or a
+    real traceback is a failure."""
+    if not isinstance(rec, dict):
+        return False
+    if rec.get("err") and rec.get("err") != "no_oracle":
+        return False
+    if any(
+        rec.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
+    ):
+        return False
+    return rec.get("spark_rows") is not None
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,7 +85,10 @@ def _rotation_order(history_dir: str | None = None) -> list[str]:
        `err` traceback or any of rows/schema/hash recorded False (the
        round-5 q12 lesson: a hash mismatch with err=null is just as
        red as a crash, and must be re-proven by the driver before
-       anything new is);
+       anything new is) — and queries whose computed contract
+       fingerprint no longer matches the one recorded in
+       CONTRACTS.json at their last driver-green (edited since proven;
+       see ``_fingerprint``);
     2. queries the driver has never sampled;
     3. everything already green, LEAST-RECENTLY-checked first (registry
        order as tie-break) — so the ~50-query window genuinely rotates
@@ -75,46 +121,35 @@ def _rotation_order(history_dir: str | None = None) -> list[str]:
             # queries() entry point
             continue
         for name, rec in records.items():
-            if not isinstance(rec, dict):
-                latest[name] = True
-                continue
-            # rows-only queries record the sentinel err='no_oracle' on a
-            # SUCCESSFUL run (spark_rows non-null) — only a real
-            # traceback/failure counts as stale-err.
-            errored = bool(rec.get("err")) and rec.get("err") != "no_oracle"
-            # any recorded False verdict is a failure; None (rows-only
-            # sentinel) is not.
-            mismatched = any(
-                rec.get(k) is False
-                for k in ("rows_match", "schema_match", "hash_match")
-            )
-            latest[name] = errored or mismatched
+            latest[name] = not _record_succeeded(rec)
             latest_round[name] = _round_no(path)
-    # Queries whose published contract (result schema or oracle) changed
-    # in a given round: a green row recorded BEFORE that round proves
-    # nothing about the new contract, so they rank with stale-fail until
-    # the driver samples them at or after the bump round (a static set
-    # would pin them to the window head forever). Maintained by hand
-    # when a round edits a driver-green query.
-    contract_bump_round = {
-        "q12_priority_by_linestatus": 6,  # r6: sums CAST AS BIGINT, DATE window, TRIM
-        "stratified_sample": 6,  # r6: seeded sampleBy -> deterministic hash threshold
-        # its only driver record (r2) is the pre-pairing no_oracle
-        # sentinel; the hash contract added later has never been
-        # driver-proven, so force a sample at/after r7.
-        "approx_distinct_check": 7,
-        # r7: both gained an audited determinism-scalar column (schema
-        # change) — re-prove the new shape under the driver.
-        "ml_cluster_ensemble": 7,
-        "ml_autoregressive_forecast": 7,
-    }
-    contract_bumped = {
-        n
-        for n, rnd in contract_bump_round.items()
-        if latest_round.get(n, -1) < rnd
-    }
+    # Computed contract staleness (replaces the r3-r7 hand-maintained
+    # contract_bump_round dict): CONTRACTS.json records, per query, the
+    # fingerprint (oracle SQL + function source) that was current when
+    # the driver last proved the query green. A query whose CURRENT
+    # fingerprint differs was edited since its proof — its green row
+    # vouches for code that no longer exists, so it ranks stale-fail
+    # until the driver re-proves it (after which the round-start
+    # updater re-stamps the sidecar and it rotates normally). Queries
+    # with no sidecar entry (never driver-green, or pre-bootstrap) fall
+    # through to the normal classes.
+    contract_stale: set[str] = set()
+    try:
+        with open(os.path.join(here, CONTRACTS_FILE)) as f:
+            contracts = json.load(f)
+    except (OSError, ValueError):
+        contracts = {}
+    if isinstance(contracts, dict):
+        for name, entry in plans.QUERIES.items():
+            rec = contracts.get(name)
+            if (
+                isinstance(rec, dict)
+                and rec.get("fingerprint")
+                and rec["fingerprint"] != _fingerprint(entry)
+            ):
+                contract_stale.add(name)
     names = list(plans.QUERIES)
-    stale_fail = [n for n in names if latest.get(n) or n in contract_bumped]
+    stale_fail = [n for n in names if latest.get(n) or n in contract_stale]
     never = [n for n in names if n not in latest and n not in stale_fail]
     idx = {n: i for i, n in enumerate(names)}
     green = sorted(

@@ -33,14 +33,13 @@ def test_rotation_order_live_is_permutation():
 
 def test_rotation_order_priorities(tmp_path):
     """Each rotation priority class, pinned against a SYNTHETIC
-    CORRECTNESS history (tmp_path) so the test is independent of the
-    driver-owned files at the repo root:
+    CORRECTNESS history + CONTRACTS.json (tmp_path) so the test is
+    independent of the driver-owned files at the repo root:
 
     1. a recorded-False verdict leads;
-    2. an unexpired contract bump leads (approx_distinct_check is bumped
-       to r7 and the synthetic history only records it at r2);
-    3. an expired bump rotates back to normal green order (q12 is bumped
-       to r6 and the synthetic history records it green AT r6);
+    2. a green query whose recorded contract fingerprint no longer
+       matches the computed one (edited since proven) leads;
+    3. a green query whose fingerprint still matches rotates normally;
     4. never-driver-checked queries rank before any green;
     5. greens order least-recently-checked first.
     """
@@ -56,17 +55,6 @@ def test_rotation_order_priorities(tmp_path):
         "err": None,
     }
     red = dict(green, hash_match=False)
-    rows_only = {
-        "rows_match": None,
-        "schema_match": None,
-        "hash_match": None,
-        "spark_rows": 1,
-        "oracle_rows": None,
-        "err": "no_oracle",
-    }
-    (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps({"approx_distinct_check": rows_only})
-    )
     (tmp_path / "CORRECTNESS_r05.json").write_text(
         json.dumps({"pricing_summary": green})
     )
@@ -80,17 +68,35 @@ def test_rotation_order_priorities(tmp_path):
             }
         )
     )
+    # q12's sidecar entry records a fingerprint that doesn't match the
+    # current source (the changed-source case the mechanism exists
+    # for); stratified_sample's entry matches, so it stays green.
+    (tmp_path / mod.CONTRACTS_FILE).write_text(
+        json.dumps(
+            {
+                "q12_priority_by_linestatus": {
+                    "fingerprint": "0000deadbeef0000",
+                    "proven_round": 6,
+                },
+                "stratified_sample": {
+                    "fingerprint": mod._fingerprint(
+                        plans.QUERIES["stratified_sample"]
+                    ),
+                    "proven_round": 6,
+                },
+            }
+        )
+    )
 
     order = mod._rotation_order(history_dir=str(tmp_path))
     assert sorted(order) == sorted(plans.QUERIES)
     pos = {n: i for i, n in enumerate(order)}
 
-    # class 1+2: the red verdict and the unexpired bump lead
+    # class 1+2: the red verdict and the fingerprint mismatch lead
     assert pos["join_theta_sql"] < 2
-    assert pos["approx_distinct_check"] < 2
-    # class 3: bumps recorded green at/after their bump round expired
+    assert pos["q12_priority_by_linestatus"] < 2
+    # class 4: every never-checked query beats every green
     checked = {
-        "approx_distinct_check",
         "pricing_summary",
         "daily_rollup",
         "join_theta_sql",
@@ -99,30 +105,66 @@ def test_rotation_order_priorities(tmp_path):
     }
     never = [n for n in plans.QUERIES if n not in checked]
     worst_never = max(pos[n] for n in never)
-    assert pos["q12_priority_by_linestatus"] > worst_never
-    assert pos["stratified_sample"] > worst_never
-    # class 4: every never-checked query beats every green
-    greens = [
-        "pricing_summary",
-        "daily_rollup",
-        "q12_priority_by_linestatus",
-        "stratified_sample",
-    ]
+    greens = ["pricing_summary", "daily_rollup", "stratified_sample"]
     assert worst_never < min(pos[n] for n in greens)
     # class 5: greens are LRU — the r5-checked green precedes r6 greens
     assert pos["pricing_summary"] < pos["daily_rollup"]
-    assert pos["pricing_summary"] < pos["q12_priority_by_linestatus"]
+    assert pos["pricing_summary"] < pos["stratified_sample"]
 
 
 def test_rotation_order_empty_history(tmp_path):
-    """No CORRECTNESS files at all: bumped queries lead (never sampled at
-    or after their bump round), everything else keeps registry order."""
+    """No CORRECTNESS files and no sidecar: nothing is stale, everything
+    is never-checked, registry order is preserved."""
     mod = importlib.import_module("__spark_entry__")
     from big_data_competition_dxc_spark import plans
 
     order = mod._rotation_order(history_dir=str(tmp_path))
-    assert sorted(order) == sorted(plans.QUERIES)
+    assert order == list(plans.QUERIES)
+
+
+def test_contract_fingerprint_tracks_source_and_oracle():
+    """The fingerprint must change when either the oracle or the
+    function source changes, and be stable otherwise."""
+    mod = importlib.import_module("__spark_entry__")
+    from big_data_competition_dxc_spark.plans import QUERIES, QueryEntry
+
+    entry = QUERIES["daily_rollup"]
+    fp = mod._fingerprint(entry)
+    assert fp == mod._fingerprint(entry)  # deterministic
+    assert fp != mod._fingerprint(
+        QueryEntry(fn=entry.fn, oracle=(entry.oracle or "") + " -- edited")
+    )
+    other = QUERIES["pricing_summary"]
+    assert fp != mod._fingerprint(
+        QueryEntry(fn=other.fn, oracle=entry.oracle)
+    )
+
+
+def test_contracts_sidecar_matches_current_tree():
+    """Guard the round-start protocol: every CONTRACTS.json entry must
+    either match the current computed fingerprint or belong to a query
+    that _rotation_order ranks stale-fail (i.e. mismatches are
+    intentional re-prove requests, not silent drift). Run
+    `python scripts/update_contracts.py` at round start, BEFORE edits,
+    to stamp newly driver-proven queries."""
+    mod = importlib.import_module("__spark_entry__")
+    from big_data_competition_dxc_spark import plans
+
+    import os
+
+    path = os.path.join(os.path.dirname(mod.__file__), mod.CONTRACTS_FILE)
+    if not os.path.exists(path):
+        return  # pre-bootstrap tree
+    with open(path) as f:
+        contracts = json.load(f)
+    order = mod._rotation_order()
     pos = {n: i for i, n in enumerate(order)}
-    assert pos["q12_priority_by_linestatus"] < 3
-    assert pos["stratified_sample"] < 3
-    assert pos["approx_distinct_check"] < 3
+    n_mismatch = 0
+    for name, rec in contracts.items():
+        entry = plans.QUERIES.get(name)
+        assert entry is not None, f"sidecar entry for unknown query {name}"
+        if rec["fingerprint"] != mod._fingerprint(entry):
+            n_mismatch += 1
+            # a mismatch is a re-prove request: it must land inside the
+            # driver's ~50-query sampling window at the rotation head
+            assert pos[name] < 50, name
