@@ -48,6 +48,7 @@ its own `noise_gate.accepted`."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -113,11 +114,12 @@ def main() -> None:
 
     def run_block(
         block_dir: str,
+        queryset: dict | None = None,
     ) -> tuple[dict[str, float], dict[str, int], float]:
         block: dict[str, float] = {}
         rows: dict[str, int] = {}
         t_all = time.perf_counter()
-        for name, entry in sorted(headline.items()):
+        for name, entry in sorted((queryset or headline).items()):
             t0 = time.perf_counter()
             try:
                 df = entry.fn(spark, block_dir)
@@ -138,7 +140,7 @@ def main() -> None:
     # numbers. Retry the main block up to MAX_ATTEMPTS until an attempt
     # passes the gate; if none does, publish the fastest attempt and
     # say so in `noise_gate.accepted`.
-    MAX_ATTEMPTS = 3
+    MAX_ATTEMPTS = 5
     STEAL_GATE = 1000
     PROBE_GATE = 2.0
     # Reference probe for cross-round normalization: the r4 bench ran
@@ -155,39 +157,53 @@ def main() -> None:
         if total <= 0 or probe <= 0:
             return None
         return round(total * PROBE_BASELINE / probe, 2)
-    def gated_block(block_dir: str, min_attempts: int = 1) -> dict:
-        """Run one headline block under the noise gate, retrying up to
-        MAX_ATTEMPTS until an attempt is clean; if none is, keep the
-        fastest attempt and record accepted=False. BOTH the main sf0.1
+    def gated_block(
+        block_dir: str, min_attempts: int = 1, queryset: dict | None = None
+    ) -> dict:
+        """Run one query block under the noise gate; publish per-query
+        MIN across attempts (``queries_min``). BOTH the main sf0.1
         block and the sf1 scale block go through this — round 4
         published a scale block with steal=1706 whose contaminated
         ratios contradicted SCALING.md, exactly because the gate only
         wrapped the main block.
 
         ``min_attempts``: run at least this many attempts even when the
-        first is gate-clean, and publish per-query MIN across attempts
-        (``queries_min``). The r6 canonical scale block recorded
+        first is gate-clean (the r6 canonical scale block recorded
         corpus_curation_pipeline at 10.95s while a same-session dev run
         on the identical plan read 4.26s — block-level probe
-        normalization can't re-scale PER-QUERY jitter, so the scale
-        block (whose per-query 10x ratios are the artifact's whole
-        point) now takes the min of two attempts; a transient that
-        inflates one attempt can't masquerade as superlinear growth."""
+        normalization can't re-scale PER-QUERY jitter). Every
+        GATE-FAILED attempt escalates the required attempt count by one
+        (capped at MAX_ATTEMPTS): the r7 canonical scale block stopped
+        at 2 attempts although attempt 1 failed the steal gate, so its
+        published mins came from a single clean-ish window and still
+        read ~2x above the dev artifact on identical plans.
+
+        The published block stats come from the BEST attempt, where
+        clean attempts strictly outrank gate-failed ones: a dirty-but-
+        faster attempt must never overwrite a clean one (it would flip
+        accepted=False and publish contaminated timings despite a clean
+        attempt existing); among attempts of equal cleanliness the
+        faster wins."""
         best: dict = {}
         attempts = []
         all_timings: list[dict] = []
         _warm_tables(block_dir)
-        for _att in range(max(MAX_ATTEMPTS, min_attempts)):
+        required = max(1, min_attempts)
+        while len(attempts) < required:
             probe_a = _cpu_probe()
             steal0 = _steal_jiffies()
-            timings_a, rows_a, total_a = run_block(block_dir)
+            timings_a, rows_a, total_a = run_block(block_dir, queryset)
             steal_a = _steal_jiffies() - steal0
             attempts.append(
                 {"value": total_a, "steal_jiffies": steal_a, "cpu_probe_sec": probe_a}
             )
             all_timings.append(timings_a)
             clean = 0 <= steal_a < STEAL_GATE and probe_a < PROBE_GATE
-            if clean or not best or total_a < best["total"]:
+            if (
+                not best
+                or (clean and not best["accepted"])
+                or (clean == best["accepted"] and total_a < best["total"])
+            ):
                 best = {
                     "timings": timings_a,
                     "rows": rows_a,
@@ -196,11 +212,11 @@ def main() -> None:
                     "probe": probe_a,
                     "accepted": clean,
                 }
-            if clean and len(all_timings) >= min_attempts:
-                break
             if not clean:
+                required = min(required + 1, MAX_ATTEMPTS)
                 print(
-                    f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — retrying",
+                    f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — "
+                    f"escalating to {required} attempts",
                     file=sys.stderr,
                 )
         best["attempts"] = attempts
@@ -226,6 +242,90 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - cleanup must never fail the bench
             pass
 
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_no(path: str) -> int:
+        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
+        return int(digits) if digits else -1
+
+    def _trailing_mins() -> tuple[dict[str, float], dict[str, float], int]:
+        """Per-query trailing minimum across all recorded BENCH_r*.json
+        artifacts (main block and scale block separately), plus the
+        upcoming round number (1 + latest recorded round). A current
+        min above 1.5x its trailing min is flagged as a regression-or-
+        noise item to explain — advisory next to the noise gate, since
+        historical artifacts mix machine speeds."""
+        main_min: dict[str, float] = {}
+        scale_min: dict[str, float] = {}
+        latest = 0
+        for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            latest = max(latest, _round_no(path))
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(rec, dict):
+                continue
+            for target, block in (
+                (main_min, rec),
+                (scale_min, rec.get("scale_check") or {}),
+            ):
+                qs = block.get("queries_min_of_attempts") or block.get("queries") or {}
+                for n, v in qs.items():
+                    if isinstance(v, (int, float)) and v > 0:
+                        if n not in target or v < target[n]:
+                            target[n] = v
+        return main_min, scale_min, latest + 1
+
+    trail_main, trail_scale, round_no = _trailing_mins()
+
+    def _trailing_flags(current: dict[str, float], trail: dict[str, float]) -> dict:
+        return {
+            n: {"current_min": v, "trailing_min": trail[n]}
+            for n, v in current.items()
+            if v > 0 and n in trail and v > 1.5 * trail[n]
+        }
+
+    # Spotlight rotation: the headline set has been frozen since r6, so
+    # 200+ registry queries have correctness rows but no wall-clock
+    # history. Each round benches SPOTLIGHT_K additional queries at
+    # both scales, selected deterministically by round number over the
+    # non-headline registry ordered heavy-families-first (graph, audit,
+    # streaming, behavioral — the ones whose plan regressions would
+    # hurt most at 100 TB), so coverage rotates through the whole
+    # registry across rounds; any flagged ratio gets a plan audit in
+    # PLANS.md.
+    SPOTLIGHT_K = 8
+    _HEAVY = {
+        "graph": 0,
+        "audit": 1,
+        "streaming": 2,
+        "behavior": 3,
+        "ml": 4,
+        "dedup": 5,
+        "similarity": 6,
+        "textops": 7,
+    }
+
+    def _spotlight_names(round_no: int) -> list[str]:
+        def fam(entry) -> int:
+            parts = (entry.fn.__module__ or "").split(".")
+            return min((_HEAVY.get(p, 9) for p in parts[-2:]), default=9)
+
+        pool = [
+            n
+            for n, _e in sorted(
+                plans.QUERIES.items(), key=lambda kv: (fam(kv[1]), kv[0])
+            )
+            if n not in headline
+        ]
+        if not pool:
+            return []
+        # r8 is the first spotlight round — start the rotation at 0
+        off = ((round_no - 8) * SPOTLIGHT_K) % len(pool)
+        return [pool[(off + i) % len(pool)] for i in range(min(SPOTLIGHT_K, len(pool)))]
+
     # min_attempts=2 on BOTH blocks: the per-query minima that feed the
     # 10x ratios must have symmetric warmth (with the scale block alone
     # re-attempting, memoized queries like knn published a warm sf1 min
@@ -242,8 +342,8 @@ def main() -> None:
 
     # ---- scale check: same headline set at 10x (see docstring) ----
     scale_check = None
+    sf1_dir = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
-        here = os.path.dirname(os.path.abspath(__file__))
         sf1_dir = os.environ.get(
             "SPARK_GRAFT_SF1_DIR", os.path.join(here, "benchdata", "sf1")
         )
@@ -301,7 +401,64 @@ def main() -> None:
                     "accepted": sc["accepted"],
                     "attempts": sc["attempts"],
                 },
+                "trailing_flags": _trailing_flags(sc_min, trail_scale),
             }
+
+    # ---- spotlight block: rotating per-round coverage (see
+    # _spotlight_names) — same gated min-of-attempts protocol at both
+    # scales; skipped alongside the scale block when the sf1 fixture is
+    # unavailable (ratios are the point). ----
+    spotlight = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SPOTLIGHT"):
+        spot_names = _spotlight_names(round_no)
+        spot_set = {n: plans.QUERIES[n] for n in spot_names}
+        if spot_set:
+            print(f"# spotlight r{round_no}: {spot_names}", file=sys.stderr)
+            sp_main = gated_block(sf_dir, min_attempts=2, queryset=spot_set)
+            _clear_session_memos()
+            spotlight = {
+                "round": round_no,
+                "names": spot_names,
+                "sf_main": {
+                    "value": sp_main["total"],
+                    "queries": sp_main["timings"],
+                    "queries_min_of_attempts": sp_main["queries_min"],
+                    "steal_jiffies": sp_main["steal"],
+                    "cpu_probe_sec": sp_main["probe"],
+                    "accepted": sp_main["accepted"],
+                    "attempts": sp_main["attempts"],
+                },
+            }
+            if sf1_dir and os.path.isdir(sf1_dir):
+                sp_sc = gated_block(sf1_dir, min_attempts=2, queryset=spot_set)
+                _clear_session_memos()
+                m_min, s_min = sp_main["queries_min"], sp_sc["queries_min"]
+                m_rows, s_rows = sp_main["rows"], sp_sc["rows"]
+                spotlight["sf_scale"] = {
+                    "value": sp_sc["total"],
+                    "queries": sp_sc["timings"],
+                    "queries_min_of_attempts": s_min,
+                    "steal_jiffies": sp_sc["steal"],
+                    "cpu_probe_sec": sp_sc["probe"],
+                    "accepted": sp_sc["accepted"],
+                    "attempts": sp_sc["attempts"],
+                }
+                spotlight["ratio_vs_main"] = {
+                    n: (
+                        round(s_min[n] / m_min[n], 1)
+                        if m_min.get(n, 0) > 0 and s_min.get(n, 0) > 0
+                        else None
+                    )
+                    for n in spot_names
+                }
+                spotlight["output_ratio_vs_main"] = {
+                    n: (
+                        round(s_rows[n] / m_rows[n], 1)
+                        if m_rows.get(n, 0) > 0 and s_rows.get(n, -1) >= 0
+                        else None
+                    )
+                    for n in spot_names
+                }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -326,9 +483,18 @@ def main() -> None:
             "accepted": accepted,
             "attempts": attempts,
         },
+        # only comparable when this run is at the history's sf (0.1) —
+        # a dev run at another sf must not emit bogus flags
+        "trailing_flags": (
+            _trailing_flags(main_run["queries_min"], trail_main)
+            if sf == "0.1"
+            else {}
+        ),
     }
     if scale_check is not None:
         out["scale_check"] = scale_check
+    if spotlight is not None:
+        out["spotlight"] = spotlight
     print(json.dumps(out))
 
 
