@@ -213,3 +213,70 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = result_checkpoint(out)
     sh.unpersist()
     return out
+
+
+# Bounded-output twin of the verified pair listing (see the simhash
+# module's note: at 100 TB the PAIR SET is the scale-killer — output
+# grew ~10x at 10x corpus in BENCH_r07 — while per-doc top-k stays
+# O(k) per matched doc, which is what canonical-assignment dedup
+# actually consumes downstream).
+
+TOP_K_MATCHES = 3
+
+_TOPK_ORACLE = f"""
+WITH pairs AS ({_VERIFIED_ORACLE}),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS other_doc_id, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS other_doc_id, jaccard FROM pairs
+),
+ranked AS (
+  SELECT doc_id, other_doc_id, jaccard,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY jaccard DESC, other_doc_id
+         ) AS match_rank,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+  FROM sym
+)
+SELECT doc_id, CAST(match_rank AS INT) AS match_rank, other_doc_id, jaccard,
+       CAST(n_matches AS BIGINT) AS n_matches
+FROM ranked WHERE match_rank <= {TOP_K_MATCHES}
+"""
+
+
+@query(
+    "minhash_dedup_topk_per_doc",
+    oracle=_TOPK_ORACLE,
+    tags=("dedup", "minhash", "bounded"),
+)
+def minhash_dedup_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-{TOP_K_MATCHES} verified near-dup matches by exact
+    Jaccard (desc; ties broken by the other doc's id), plus the doc's
+    total verified-match count. Reuses the full LSH->verify pipeline
+    (shingle cache, band equi-join, localCheckpoint) and adds one
+    doc_id-partitioned window — ordering on the ROUNDED jaccard both
+    engines already hash-agree on keeps ranks deterministic."""
+    from pyspark.sql.window import Window
+
+    pairs = minhash_dedup_verified(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("other_doc_id"),
+        "jaccard",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("other_doc_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("other_doc_id").asc()
+    )
+    wc = Window.partitionBy("doc_id")
+    return (
+        sym.withColumn("match_rank", F.row_number().over(w))
+        .withColumn("n_matches", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("match_rank") <= TOP_K_MATCHES)
+        .select("doc_id", "match_rank", "other_doc_id", "jaccard", "n_matches")
+    )

@@ -151,3 +151,114 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-output twins. The pair LISTING above is the fixture/debug
+# form: its OUTPUT grows superlinearly with corpus size (observed 19.5x
+# rows at 10x input in BENCH_r07) even though the pigeonhole join keeps
+# the COMPUTE near-linear — at 100 TB the result set itself becomes the
+# scale-killer. The production shapes are (a) per-doc top-k matches
+# (what canonical-assignment dedup actually consumes; output is O(k)
+# per matched doc, linear in corpus) and (b) a constant-size Hamming
+# histogram (what threshold calibration consumes; output ratio ~1 at
+# any scale).
+# ---------------------------------------------------------------------------
+
+TOP_K_MATCHES = 3
+
+_TOPK_ORACLE = f"""
+WITH pairs AS ({_PAIRS_ORACLE}),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS other_doc_id, hamming FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS other_doc_id, hamming FROM pairs
+),
+ranked AS (
+  SELECT doc_id, other_doc_id, hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY hamming, other_doc_id
+         ) AS match_rank,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+  FROM sym
+)
+SELECT doc_id, CAST(match_rank AS INT) AS match_rank, other_doc_id, hamming,
+       CAST(n_matches AS BIGINT) AS n_matches
+FROM ranked WHERE match_rank <= {TOP_K_MATCHES}
+"""
+
+
+@query(
+    "simhash_neardup_topk_per_doc",
+    oracle=_TOPK_ORACLE,
+    bench=True,
+    tags=("dedup", "simhash", "bounded"),
+)
+def simhash_neardup_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-{TOP_K_MATCHES} nearest SimHash matches (plus the
+    doc's total match count): the bounded production form of
+    simhash_neardup_pairs. Same pigeonhole candidate join; the pair set
+    is then symmetrized and cut per doc with a row_number window
+    (deterministic order: hamming asc, other id asc), so output is
+    O(k) per matched doc — linear in corpus — instead of O(pairs)."""
+    from pyspark.sql.window import Window
+
+    pairs = simhash_neardup_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("other_doc_id"),
+        "hamming",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("other_doc_id"),
+            "hamming",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hamming").asc(), F.col("other_doc_id").asc()
+    )
+    wc = Window.partitionBy("doc_id")
+    return (
+        sym.withColumn("match_rank", F.row_number().over(w))
+        .withColumn("n_matches", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("match_rank") <= TOP_K_MATCHES)
+        .select("doc_id", "match_rank", "other_doc_id", "hamming", "n_matches")
+    )
+
+
+_SUMMARY_ORACLE = f"""
+WITH pairs AS ({_PAIRS_ORACLE}),
+sym AS (
+  SELECT doc_a AS doc_id, hamming FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, hamming FROM pairs
+)
+SELECT hamming,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM sym GROUP BY hamming
+"""
+
+
+@query(
+    "simhash_neardup_summary",
+    oracle=_SUMMARY_ORACLE,
+    bench=True,
+    tags=("dedup", "simhash", "bounded"),
+)
+def simhash_neardup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the near-dup pair set (pairs and
+    distinct docs per distance): the constant-size calibration form —
+    at most HAMMING_THRESHOLD+1 output rows at ANY corpus size, so the
+    BENCH output_ratio stays ~1 while the listing form's grows with
+    the pair count. One extra shuffle (groupBy hamming) over the same
+    pigeonhole candidate join."""
+    pairs = simhash_neardup_pairs(spark, sf_dir)
+    sym = pairs.select(F.col("doc_a").alias("doc_id"), "hamming").unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"), "hamming")
+    )
+    return sym.groupBy("hamming").agg(
+        (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )

@@ -87,11 +87,17 @@ LAST_VERIFY_PLANS: list[str] = []
 
 
 def _formatted_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    """Formatted physical plan via the PUBLIC API only: capture the
+    stdout of ``df.explain(mode="formatted")`` instead of reaching into
+    ``_jdf``/``_jvm`` py4j internals (which drift across releases and
+    don't exist under Spark Connect)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 @query(

@@ -326,10 +326,14 @@ import pytest as _pytest
 
 
 @_pytest.mark.xfail(
+    raises=ImportError,
     reason="container lacks google.protobuf (the typed-state server's "
     "wire protocol). An XPASS here means the image gained the "
     "dependency and transformWithStateInPandas now executes — promote "
-    "typed_state_user_totals to a registered query.",
+    "typed_state_user_totals to a registered query. raises=ImportError "
+    "keeps the gate narrow: on an image WITH protobuf, a genuine "
+    "assertion failure still fails the suite instead of reporting "
+    "xfail.",
 )
 def test_typed_state_matches_batch_aggregate(spark):
     """transformWithStateInPandas (typed-state API) — auto-activates

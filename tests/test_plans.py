@@ -17,11 +17,15 @@ plans.load_all()
 
 
 def _formatted(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    """Formatted physical plan via the public API (captured
+    ``df.explain``), not ``_jdf``/``_jvm`` py4j internals."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -446,17 +450,38 @@ def test_stream_dedup_probe_has_no_corpus_exchange(spark):
         assert "SortMergeJoin" in p
         assert "stream_corpus_bands" in p
         assert "Bucketed: true" in p, "corpus index not read bucketed"
-        # In the tree section the SMJ's left (batch) child's lines carry
-        # the ':' connector; the right (corpus) child's lines are the
-        # trailing '+-' lines with no ':' in their indent. The batch side
-        # legitimately shuffles (its own signature agg + the probe
-        # repartition into the index's buckets); the corpus side must not.
+        # Slice out the SMJ's RIGHT-child (corpus) subtree by connector
+        # columns instead of a ':'-prefix line heuristic (which also
+        # matched mainline operators above the join, so a legitimate
+        # output-side Exchange would spuriously fail): the left child
+        # roots at the first ':-' below the SMJ line; the right child
+        # roots at the '+-' in the SAME column with only spaces before
+        # it, and its subtree is every following line indented deeper.
+        # The batch side legitimately shuffles (its own signature agg +
+        # the probe repartition into the index's buckets); the corpus
+        # side must not.
         tree = p.split("\n\n")[0]
-        corpus_lines = [
-            line
-            for line in tree.splitlines()
-            if "+-" in line and ":" not in line.split("+-")[0]
-        ]
+        lines = tree.splitlines()
+        smj_i = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+        lcol = rstart = None
+        for j in range(smj_i + 1, len(lines)):
+            ln = lines[j]
+            if lcol is None:
+                pos = ln.find(":-")
+                if pos >= 0 and not ln[:pos].strip():
+                    lcol = pos
+                continue
+            pos = ln.find("+-")
+            if pos == lcol and not ln[:pos].strip():
+                rstart = j
+                break
+        assert rstart is not None, f"no right child under SortMergeJoin:\n{tree}"
+        corpus_lines = [lines[rstart]]
+        for ln in lines[rstart + 1 :]:
+            content = len(ln) - len(ln.lstrip())
+            if ln.strip() and content <= lcol:
+                break
+            corpus_lines.append(ln)
         assert any("stream_corpus_bands" in line for line in corpus_lines), tree
         assert not any("Exchange" in line for line in corpus_lines), (
             f"corpus-side Exchange in probe plan:\n{tree}"
@@ -533,3 +558,40 @@ def test_bucketed_index_append_preserves_layout(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_knn_norm_path_switch(spark, monkeypatch):
+    """The r7 cold-path analysis documented WHEN the pruned norm source
+    wins (|capped contributors| << |catalog users|); r8 wires the
+    switch as code. Both forced paths must produce identical pair sets
+    (norms are only consumed for users that appear in pairs, so
+    restricting the norm input to candidate users is result-neutral),
+    and the pruned plan must actually contain the extra LeftSemi joins
+    (candidate-user semi into the norms aggregate) the full plan
+    lacks."""
+    from big_data_competition_dxc_spark.ml import recommend
+
+    full = recommend._user_cosine_pairs(spark, SF_TEST_DIR, norm_path="full")
+    pruned = recommend._user_cosine_pairs(spark, SF_TEST_DIR, norm_path="pruned")
+
+    def canon(df):
+        return sorted(
+            (r["u"], r["v"], round(r["sim"], 9), r["rn"]) for r in df.collect()
+        )
+
+    rows_full = canon(full)
+    assert rows_full and rows_full == canon(pruned)
+
+    # plan shape: audit mode strips the pruned path's b.cache() barrier
+    # so the LeftSemi structure is visible in the raw tree
+    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+    tree_full = _formatted(
+        recommend._user_cosine_pairs(spark, SF_TEST_DIR, norm_path="full")
+    ).split("\n\n")[0]
+    tree_pruned = _formatted(
+        recommend._user_cosine_pairs(spark, SF_TEST_DIR, norm_path="pruned")
+    ).split("\n\n")[0]
+    n_full = tree_full.count("LeftSemi")
+    n_pruned = tree_pruned.count("LeftSemi")
+    assert n_full >= 1  # the qitems pre-prune both paths share
+    assert n_pruned > n_full, (tree_pruned, tree_full)
