@@ -46,6 +46,18 @@ from .pagerank import _PAIRS_SQL
 
 MICRO = 1_000_000
 
+# Deterministic DOULION edge sampling (see triangle_count_sampled):
+# keep an edge iff md5(u|v) mod 10000 < P_KEEP_BP. 5000bp = p=1/2, so
+# the unbiased estimator scale 1/p^3 is EXACTLY 8 — integer arithmetic
+# end-to-end, no float estimator to drift cross-engine.
+P_KEEP_BP = 5000
+EST_SCALE = 8  # (10000 // P_KEEP_BP) ** 3; update together
+
+_SQL_SAMPLE_FILTER = (
+    "('0x' || substr(md5(CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 12))"
+    f"::BIGINT % 10000 < {P_KEEP_BP}"
+)
+
 _TRIANGLES_ORACLE = f"""
 WITH pairs AS ({_PAIRS_SQL}),
 und AS (SELECT src AS u, dst AS v FROM pairs WHERE src < dst),
@@ -154,5 +166,122 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr(f"(3 * t * {MICRO}) div wedges"))
             .cast("bigint")
             .alias("clustering_micro"),
+        )
+    )
+
+
+_SAMPLED_ORACLE = f"""
+WITH pairs AS ({_PAIRS_SQL}),
+und0 AS (SELECT src AS u, dst AS v FROM pairs WHERE src < dst),
+und AS (SELECT u, v FROM und0 WHERE {_SQL_SAMPLE_FILTER}),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM o e1
+  JOIN deg d1 ON d1.node = e1.b
+  JOIN o e2 ON e2.a = e1.a
+  JOIN deg d2 ON d2.node = e2.b
+  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+  WHERE (d1.d < d2.d) OR (d1.d = d2.d AND e1.b < e2.b)
+)
+SELECT CAST((SELECT COUNT(*) FROM und0) AS BIGINT) AS n_edges_full,
+       CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges_sampled,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles_sampled,
+       CAST((SELECT t FROM tri) * {EST_SCALE} AS BIGINT) AS est_triangles
+"""
+
+
+@query(
+    "triangle_count_sampled",
+    oracle=_SAMPLED_ORACLE,
+    tags=("graph", "A1", "J2", "scale", "sampling"),
+)
+def triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) sampled triangle count — the
+    100 TB lever for the repo's most expensive exact query (r8
+    spotlight: triangle_count_cosupply 14.8s at sf0.1, 92.8s at sf1):
+    keep each undirected edge with probability p, count triangles on
+    the sampled graph with the SAME degree-oriented pipeline, scale by
+    1/p^3 for an unbiased estimate. Sampling here is a DETERMINISTIC
+    md5 threshold on the canonical edge key (no RNG), so the whole
+    estimator — sample, orientation, count, scale — is reproducible
+    and carries a full DuckDB oracle; p=1/2 makes 1/p^3 exactly 8,
+    keeping every op integer. The expensive wedge join runs on ~p^2 of
+    the edge-pair space (p x p per endpoint), the concentration bound
+    tightens with the triangle count, and tests pin the estimate
+    against the exact count at fixture scale. Deliberately
+    self-contained (no shared helper with the exact query): the
+    contract fingerprint of the driver-green exact query must not flip
+    for a variant addition."""
+    from ..functions.hashing import md5_bigint
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    und0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    und = und0.filter(
+        md5_bigint(F.concat_ws("|", F.col("u"), F.col("v")), 12) % 10000
+        < F.lit(P_KEEP_BP)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = o.select(F.col("a"), F.col("b").alias("b1")).join(
+        deg.select(F.col("node").alias("b1"), F.col("d").alias("d1")), "b1"
+    )
+    e2 = o.select(F.col("a"), F.col("b").alias("b2")).join(
+        deg.select(F.col("node").alias("b2"), F.col("d").alias("d2")), "b2"
+    )
+    pivot_pairs = e1.join(e2, "a").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    )
+    closed = pivot_pairs.join(
+        o.select(F.col("a").alias("b1"), F.col("b").alias("b2")), ["b1", "b2"]
+    )
+    tri = closed.agg(F.count("*").alias("t"))
+    return (
+        und0.agg(F.count("*").alias("n_edges_full"))
+        .join(und.agg(F.count("*").alias("n_edges_sampled")))
+        .join(tri)
+        .select(
+            F.col("n_edges_full").cast("bigint"),
+            F.col("n_edges_sampled").cast("bigint"),
+            F.col("t").cast("bigint").alias("n_triangles_sampled"),
+            (F.col("t") * F.lit(EST_SCALE)).cast("bigint").alias("est_triangles"),
         )
     )

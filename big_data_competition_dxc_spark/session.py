@@ -33,5 +33,15 @@ def get_spark(app_name: str = "bdc-dxc-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # JVM unified-logging writes to the process stdout, which the
+        # bench/driver contract reserves for exactly one JSON line — an
+        # r8 run saw "[warning][gc,alloc] ... GCLocker ..." land on
+        # stdout ahead of the payload. Route JVM log output to stderr
+        # instead of silencing it (warnings stay visible, stdout stays
+        # machine-parseable).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:all=warning:stderr:uptime,level,tags",
+        )
         .getOrCreate()
     )

@@ -134,3 +134,29 @@ def test_triangle_count_matches_brute_force(spark):
     assert r.n_edges == und.count()
     if r.n_wedges > 0:
         assert r.clustering_micro == (3 * r.n_triangles * 1_000_000) // r.n_wedges
+
+
+def test_triangle_sampled_estimator(spark):
+    """DOULION sampled estimate vs the exact count. Runs at sf0.01, NOT
+    the default sf0.001 fixture: the estimator's concentration bound
+    needs a non-trivial graph (sf0.001's co-supply projection has only
+    90 edges, where a fixed md5 sample legitimately lands 2.6 sigma
+    from p=1/2 and the estimate variance swamps any useful band). At
+    sf0.01 (4950 edges, 161700 triangles) the deterministic sample
+    keeps 50.6% of edges and the estimate lands within 3.3% of exact —
+    the bands below are wide enough to be seed-robust if the fixture
+    generator changes, tight enough to catch a broken estimator."""
+    sf = "/root/testdata/sf0.01"
+    [ex] = plans.QUERIES["triangle_count_cosupply"].fn(spark, sf).collect()
+    [s] = plans.QUERIES["triangle_count_sampled"].fn(spark, sf).collect()
+    assert s.n_edges_full == ex.n_edges
+    assert 0 < s.n_edges_sampled < s.n_edges_full
+    # md5 thresholding at 5000bp: kept fraction within a loose CLT band
+    frac = s.n_edges_sampled / s.n_edges_full
+    assert 0.45 < frac < 0.55, frac
+    assert s.est_triangles == s.n_triangles_sampled * 8
+    assert ex.n_triangles > 100_000  # estimator concentration precondition
+    assert 0.75 * ex.n_triangles < s.est_triangles < 1.25 * ex.n_triangles, (
+        s.est_triangles,
+        ex.n_triangles,
+    )

@@ -136,6 +136,7 @@ _BNLJ_OK = {
     "lm_bigram_cross_entropy",  # 1-row vocabulary-size scalar attach
     "temperature_mixture_rates",  # 1-row corpus-totals scalar attach
     "triangle_count_cosupply",  # 1-row nodes/edges/tri/wedge scalar attaches
+    "triangle_count_sampled",   # same 1-row scalar attaches, sampled graph
     "neardup_threshold_curve",  # 1-row x 1-row conditional-sum attach
     "hll_sketch_rollup",        # 1-row exact-count scalar attach to the merged sketch
     "theta_overlap_check",      # 1-row min-day + estimate + exact-overlap attaches
