@@ -1,6 +1,10 @@
 """Benchmark runner: executes the registry's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line with per-query wall seconds.
+and prints the full results as ONE JSON line, followed by a COMPACT
+summary JSON line sized to fit the external driver's ~2000-char output
+capture window (see the comment at the end of main(); the compact line
+is printed last so the capture's tail always contains one complete,
+parseable payload).
 
 Each query's timing covers the registered callable plus a count()
 action. Most queries return a lazy plan (the count executes it);
@@ -496,6 +500,70 @@ def main() -> None:
     if spotlight is not None:
         out["spotlight"] = spotlight
     print(json.dumps(out))
+
+    # ---- compact summary line, printed LAST ----
+    # Forensics on BENCH_r01..r07: the external driver records only the
+    # final ~2000 characters of the run's output and parses the JSON
+    # line it finds INSIDE that window ("parsed" went null from r5 on,
+    # exactly when the full line outgrew 2000 chars, and the r7 review
+    # had to reconstruct the scale block from ratio denominators). The
+    # full line above remains the complete artifact (committed per
+    # round as bench_r*_dev.json); this last line is the
+    # decision-grade subset — block totals, gate verdicts, per-query
+    # min-of-attempts at both scales, spotlight ratios, trailing
+    # flags — kept under the capture window by construction (fields
+    # are dropped bulk-first if the budget is ever exceeded).
+    def _r2(d: dict) -> dict:
+        return {k: round(v, 2) for k, v in sorted(d.items())}
+
+    compact = {
+        "metric": "headline_summary",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "probe": probe,
+        "steal": steal_main,
+        "accepted": accepted,
+        "normalized": out["value_probe_normalized"],
+        "trailing_flags": sorted(out["trailing_flags"]),
+        "q_min": _r2(main_run["queries_min"]),
+    }
+    if scale_check is not None:
+        compact["scale"] = {
+            "value": scale_check["value"],
+            "probe": scale_check["cpu_probe_sec"],
+            "steal": scale_check["steal_jiffies"],
+            "accepted": scale_check["noise_gate"]["accepted"],
+            "trailing_flags": sorted(scale_check["trailing_flags"]),
+            "q_min": _r2(scale_check["queries_min_of_attempts"]),
+        }
+    if spotlight is not None and "ratio_vs_main" in spotlight:
+        compact["spot"] = {
+            "round": spotlight["round"],
+            "ratio": spotlight["ratio_vs_main"],
+            "q_min": _r2(spotlight["sf_main"]["queries_min_of_attempts"]),
+            "q_min_scale": _r2(spotlight["sf_scale"]["queries_min_of_attempts"]),
+            "accepted": [
+                spotlight["sf_main"]["accepted"],
+                spotlight["sf_scale"]["accepted"],
+            ],
+        }
+    TAIL_BUDGET = 1900
+    for drop in (
+        ("spot", "q_min_scale"),
+        ("spot", "q_min"),
+        ("scale", "q_min"),
+        ("q_min",),
+        ("spot", "ratio"),
+    ):
+        s = json.dumps(compact, separators=(",", ":"))
+        if len(s) <= TAIL_BUDGET:
+            break
+        node = compact
+        for k in drop[:-1]:
+            node = node.get(k, {})
+        node.pop(drop[-1], None)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
