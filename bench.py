@@ -253,17 +253,37 @@ def main() -> None:
         return int(digits) if digits else -1
 
     def _trailing_mins() -> tuple[dict[str, float], dict[str, float], int]:
-        """Per-query trailing minimum across all recorded BENCH_r*.json
-        artifacts (main block and scale block separately), plus the
-        upcoming round number (1 + latest recorded round). A current
+        """Per-query trailing minimum across every recorded bench
+        artifact (main block and scale block separately), plus the
+        upcoming round number (1 + latest canonical round). A current
         min above 1.5x its trailing min is flagged as a regression-or-
         noise item to explain — advisory next to the noise gate, since
-        historical artifacts mix machine speeds."""
+        historical artifacts mix machine speeds.
+
+        Three artifact shapes coexist: the committed bench_r*_dev.json
+        files are this script's RAW full line; the canonical
+        BENCH_r*.json files are the driver's WRAPPER
+        ``{n, rc, tail, parsed}`` whose ``parsed`` is the full line
+        (r1-r4), null (r5-r7, line outgrew the capture window), or —
+        from r8 on — the COMPACT summary line (``q_min`` /
+        ``scale.q_min`` keys). All three are consumed; unparseable
+        wrappers contribute nothing."""
         main_min: dict[str, float] = {}
         scale_min: dict[str, float] = {}
         latest = 0
-        for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-            latest = max(latest, _round_no(path))
+
+        def _absorb(target: dict[str, float], qs: dict) -> None:
+            for n, v in (qs or {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    if n not in target or v < target[n]:
+                        target[n] = v
+
+        paths = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+            os.path.join(here, "bench_r*_dev.json")
+        )
+        for path in paths:
+            if "BENCH_r" in os.path.basename(path):
+                latest = max(latest, _round_no(path))
             try:
                 with open(path) as f:
                     rec = json.load(f)
@@ -271,15 +291,22 @@ def main() -> None:
                 continue
             if not isinstance(rec, dict):
                 continue
+            if "parsed" in rec:  # driver wrapper
+                rec = rec.get("parsed")
+                if not isinstance(rec, dict):
+                    continue
+            if rec.get("metric") == "headline_summary":  # compact shape
+                _absorb(main_min, rec.get("q_min"))
+                _absorb(scale_min, (rec.get("scale") or {}).get("q_min"))
+                continue
             for target, block in (
                 (main_min, rec),
                 (scale_min, rec.get("scale_check") or {}),
             ):
-                qs = block.get("queries_min_of_attempts") or block.get("queries") or {}
-                for n, v in qs.items():
-                    if isinstance(v, (int, float)) and v > 0:
-                        if n not in target or v < target[n]:
-                            target[n] = v
+                _absorb(
+                    target,
+                    block.get("queries_min_of_attempts") or block.get("queries"),
+                )
         return main_min, scale_min, latest + 1
 
     trail_main, trail_scale, round_no = _trailing_mins()
