@@ -162,7 +162,10 @@ def main() -> None:
             return None
         return round(total * PROBE_BASELINE / probe, 2)
     def gated_block(
-        block_dir: str, min_attempts: int = 1, queryset: dict | None = None
+        block_dir: str,
+        min_attempts: int = 1,
+        queryset: dict | None = None,
+        max_attempts: int | None = None,
     ) -> dict:
         """Run one query block under the noise gate; publish per-query
         MIN across attempts (``queries_min``). BOTH the main sf0.1
@@ -188,6 +191,7 @@ def main() -> None:
         accepted=False and publish contaminated timings despite a clean
         attempt existing); among attempts of equal cleanliness the
         faster wins."""
+        cap = MAX_ATTEMPTS if max_attempts is None else max_attempts
         best: dict = {}
         attempts = []
         all_timings: list[dict] = []
@@ -217,7 +221,7 @@ def main() -> None:
                     "accepted": clean,
                 }
             if not clean:
-                required = min(required + 1, MAX_ATTEMPTS)
+                required = min(required + 1, cap)
                 print(
                     f"# noise gate FAILED (steal={steal_a}, probe={probe_a}s) — "
                     f"escalating to {required} attempts",
@@ -445,7 +449,13 @@ def main() -> None:
         spot_set = {n: plans.QUERIES[n] for n in spot_names}
         if spot_set:
             print(f"# spotlight r{round_no}: {spot_names}", file=sys.stderr)
-            sp_main = gated_block(sf_dir, min_attempts=2, queryset=spot_set)
+            # escalation capped at 3 for spotlight blocks: the rotation
+            # can land heavy queries (r8: a 93s sf1 triangle count), and
+            # 5 attempts of such a block would dominate the whole bench
+            # wall for a secondary artifact
+            sp_main = gated_block(
+                sf_dir, min_attempts=2, queryset=spot_set, max_attempts=3
+            )
             _clear_session_memos()
             spotlight = {
                 "round": round_no,
@@ -461,7 +471,9 @@ def main() -> None:
                 },
             }
             if sf1_dir and os.path.isdir(sf1_dir):
-                sp_sc = gated_block(sf1_dir, min_attempts=2, queryset=spot_set)
+                sp_sc = gated_block(
+                    sf1_dir, min_attempts=2, queryset=spot_set, max_attempts=3
+                )
                 _clear_session_memos()
                 m_min, s_min = sp_main["queries_min"], sp_sc["queries_min"]
                 m_rows, s_rows = sp_main["rows"], sp_sc["rows"]
