@@ -160,3 +160,29 @@ def test_triangle_sampled_estimator(spark):
         s.est_triangles,
         ex.n_triangles,
     )
+
+
+def test_triangle_join_path_matches_dense(spark, monkeypatch):
+    """Both physical strategies behind triangle_count_cosupply and
+    triangle_count_sampled must return identical rows. At fixture
+    scales the dense bitset kernel always wins the gate (suppliers
+    <= DENSE_MAX_NODES), so the degree-oriented join path — the
+    100 TB fallback — would otherwise never execute in the suite;
+    force it by shrinking the gate to 0 and compare path-vs-path."""
+    from big_data_competition_dxc_spark.graph import triangles
+
+    dense_exact = plans.QUERIES["triangle_count_cosupply"].fn(
+        spark, SF_TEST_DIR
+    ).collect()
+    dense_sampled = plans.QUERIES["triangle_count_sampled"].fn(
+        spark, SF_TEST_DIR
+    ).collect()
+    monkeypatch.setattr(triangles, "DENSE_MAX_NODES", 0)
+    join_exact = plans.QUERIES["triangle_count_cosupply"].fn(
+        spark, SF_TEST_DIR
+    ).collect()
+    join_sampled = plans.QUERIES["triangle_count_sampled"].fn(
+        spark, SF_TEST_DIR
+    ).collect()
+    assert join_exact == dense_exact
+    assert join_sampled == dense_sampled
