@@ -186,3 +186,44 @@ def test_triangle_join_path_matches_dense(spark, monkeypatch):
     ).collect()
     assert join_exact == dense_exact
     assert join_sampled == dense_sampled
+
+
+def test_dense_kernel_synthetic_graphs(spark):
+    """The bitset kernel on adversarial tiny graphs, against an
+    itertools brute force: byte-boundary node counts (8/9), sparse
+    stars (zero triangles, many wedges), cliques, disconnected
+    components, and non-contiguous node ids (the kernel indexes via
+    row_number, so ids must not need to be dense)."""
+    from itertools import combinations
+
+    from big_data_competition_dxc_spark.graph.triangles import _dense_counts
+
+    def brute(edges):
+        nodes = sorted({x for e in edges for x in e})
+        adj = {n: set() for n in nodes}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        tri = sum(
+            1
+            for a, b, c in combinations(nodes, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+        return len(nodes), len(edges), tri, wedges
+
+    k5 = [(u, v) for u, v in combinations(range(5), 2)]
+    cases = [
+        [(1, 2)],                                    # single edge
+        [(1, 2), (2, 3), (1, 3)],                    # one triangle
+        [(0, i) for i in range(1, 5)],               # star: 0 tri, 6 wedges
+        k5,                                          # K5: 10 triangles
+        [(i, i + 1) for i in range(8)],              # path over 9 nodes (nb boundary)
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],  # 2 components
+        [(100, 205), (205, 999), (100, 999), (7, 100)],  # non-contiguous ids
+    ]
+    for edges in cases:
+        und = spark.createDataFrame(
+            [(min(u, v), max(u, v)) for u, v in edges], "u int, v int"
+        )
+        assert _dense_counts(spark, und) == brute(edges), edges
