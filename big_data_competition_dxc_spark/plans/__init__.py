@@ -73,6 +73,8 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.textops.boilerplate",
         "big_data_competition_dxc_spark.streaming.trending",
         "big_data_competition_dxc_spark.textops.lm_quality",
+        # --- round-8 additions (never yet in a driver window) ---
+        "big_data_competition_dxc_spark.streaming.ann_ingest",
         # --- round-6 additions (never yet in a driver window) ---
         "big_data_competition_dxc_spark.operators.dpp",
         "big_data_competition_dxc_spark.streaming.dedup_ingest",

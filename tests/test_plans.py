@@ -596,3 +596,39 @@ def test_knn_norm_path_switch(spark, monkeypatch):
     n_pruned = tree_pruned.count("LeftSemi")
     assert n_full >= 1  # the qitems pre-prune both paths share
     assert n_pruned > n_full, (tree_pruned, tree_full)
+
+
+def test_stream_ann_probe_and_rerank_plans(spark):
+    """The streaming ANN ingest's plan contract, mirroring the dedup
+    ingest's: every micro-batch probe reads the PERSISTED postings
+    table bucketed (sort-merge join against the stored layout), and
+    every rerank scan of the vector table bucket-prunes to the
+    batch's matched vec_ids (SelectedBucketsCount strictly below the
+    table's bucket count) — per-lookup cost O(batch x bucket
+    occupancy), never O(corpus)."""
+    import re as _re
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.streaming import ann_ingest
+
+    df = plans.QUERIES["stream_ann_ingest"].fn(spark, SF_TEST_DIR)
+    rows = df.collect()
+    assert len(rows) == ann_ingest.N_STREAM_QUERIES
+    assert sorted(ann_ingest.LAST_BATCH_IDS) == list(range(ann_ingest.ANN_SLICES))
+    assert len(ann_ingest.LAST_PROBE_PLANS) == ann_ingest.ANN_SLICES
+    for p in ann_ingest.LAST_PROBE_PLANS:
+        assert "stream_ann_index" in p
+        assert "SortMergeJoin" in p
+        assert "Bucketed: true" in p, "postings table not read bucketed"
+    assert ann_ingest.LAST_RERANK_PLANS, "no batch matched any candidate"
+    for p in ann_ingest.LAST_RERANK_PLANS:
+        assert "stream_ann_vectors" in p
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+        assert m, f"rerank scan lost bucket pruning:\n{p}"
+        selected, total = int(m.group(1)), int(m.group(2))
+        assert total == ann_ingest.N_VEC_BUCKETS
+        assert selected < total, f"no pruning: {selected}/{total}"
+    # self-consistency of the one-row-per-query contract: every
+    # non-empty bucket yields a best neighbor, empty buckets yield NULL
+    for r in rows:
+        assert (r.best_neighbor is None) == (r.n_candidates == 0)
