@@ -76,6 +76,7 @@ def load_all() -> None:
         # --- round-8 additions (never yet in a driver window) ---
         "big_data_competition_dxc_spark.streaming.ann_ingest",
         "big_data_competition_dxc_spark.similarity.multiprobe",
+        "big_data_competition_dxc_spark.similarity.evolution",
         # --- round-6 additions (never yet in a driver window) ---
         "big_data_competition_dxc_spark.operators.dpp",
         "big_data_competition_dxc_spark.streaming.dedup_ingest",
