@@ -138,16 +138,20 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _block_pair_sims(
-    spark: SparkSession, sf_dir: str, min_cos: float
+    spark: SparkSession, sf_dir: str, min_cos: float, keep=None
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim-rounded-4dp) for every unordered pair
     with raw cosine >= min_cos, via the block-partitioned equi-join
     documented on `embedding_neardup_pairs` (which is this helper at
     {NEARDUP_COS}); `neardup_threshold_curve` reuses it at its lowest
-    grid point."""
+    grid point. ``keep`` (optional Column predicate) restricts the
+    vector set BEFORE pairing — a keep-rate q shrinks the pair space
+    by q^2 (`neardup_curve_sampled`'s scale lever)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    if keep is not None:
+        e = e.filter(keep)
     e = e.select(
         "vec_id",
         "v",
@@ -309,4 +313,109 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.selectExpr(
         f"stack({len(_CURVE_BPS)}, {stack_args}) AS (threshold, n_pairs, n_vecs)"
+    )
+
+
+# Deterministic curve-calibration sampling (see neardup_curve_sampled):
+# keep a vector iff md5(vec_id) mod 10000 < CURVE_SAMPLE_BP. 5000bp =
+# q=1/2, so the pair-space shrinks 4x and the unbiased pair-count
+# scale 1/q^2 is EXACTLY 4 — integer arithmetic end-to-end.
+CURVE_SAMPLE_BP = 5000
+CURVE_EST_SCALE = 4  # (10000 // CURVE_SAMPLE_BP) ** 2; update together
+
+_SQL_CURVE_SAMPLE = (
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))"
+    f"::BIGINT % 10000 < {CURVE_SAMPLE_BP}"
+)
+
+
+def _curve_sampled_oracle() -> str:
+    base = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {_SQL_CURVE_SAMPLE}),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS s
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+),
+vbest AS (
+  SELECT vec, MAX(s) AS best FROM (
+    SELECT vec_a AS vec, s FROM p UNION ALL SELECT vec_b, s FROM p
+  ) GROUP BY vec
+)
+"""
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({bp / 100.0} AS DOUBLE) AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE s >= {bp / 100.0})
+         AS n_pairs_sampled,
+       (SELECT CAST(COUNT(*) * {CURVE_EST_SCALE} AS BIGINT)
+        FROM p WHERE s >= {bp / 100.0}) AS est_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vbest WHERE best >= {bp / 100.0})
+         AS n_vecs_sampled"""
+        for bp in _CURVE_BPS
+    )
+    return base + selects
+
+
+@query(
+    "neardup_curve_sampled",
+    oracle=_curve_sampled_oracle(),
+    tags=("similarity", "dedup", "A2", "sampling", "scale"),
+)
+def neardup_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-calibration curve on a DETERMINISTIC 1/2 vector
+    sample — the scale path for `neardup_threshold_curve`, whose exact
+    pair enumeration is the repo's one inherently quadratic term (r8
+    spotlight preview: 8.2s at sf0.1 -> 164s at sf1, 19.9x wall at
+    constant output, because the qualifying-pair space itself grows
+    ~n^2). Sampling vectors at keep-rate q shrinks the pair space by
+    q^2 (4x here; q=0.1 at 100 TB -> 100x) while preserving exactly
+    what calibration needs: `est_pairs = n_pairs_sampled / q^2` is an
+    unbiased exact-integer estimate of the full pair count per
+    threshold (every qualifying pair survives with probability q^2),
+    and the knee of the per-vector curve is read off the same grid.
+    The md5 threshold on vec_id makes the sample — and therefore the
+    whole curve — reproducible with a full DuckDB oracle; the vector
+    counts are reported as raw sampled counts (their population
+    scaling depends on partner survival, so no estimator is claimed
+    for them)."""
+    from ..functions.hashing import md5_bigint
+
+    keep = md5_bigint(F.col("vec_id").cast("string"), 12) % 10000 < F.lit(
+        CURVE_SAMPLE_BP
+    )
+    p = _block_pair_sims(spark, sf_dir, NEARDUP_COS, keep=keep)
+    pair_sums = p.agg(
+        *[
+            F.sum((F.col("cos_sim") >= F.lit(bp / 100.0)).cast("long")).alias(
+                f"np_{bp}"
+            )
+            for bp in _CURVE_BPS
+        ]
+    )
+    vbest = (
+        p.select(
+            F.explode(F.array("vec_a", "vec_b")).alias("vec"), F.col("cos_sim")
+        )
+        .groupBy("vec")
+        .agg(F.max("cos_sim").alias("best"))
+    )
+    vec_sums = vbest.agg(
+        *[
+            F.sum((F.col("best") >= F.lit(bp / 100.0)).cast("long")).alias(
+                f"nv_{bp}"
+            )
+            for bp in _CURVE_BPS
+        ]
+    )
+    wide = pair_sums.crossJoin(F.broadcast(vec_sums))  # 1 row x 1 row
+    stack_args = ", ".join(
+        f"CAST({bp / 100.0} AS DOUBLE), np_{bp}, "
+        f"np_{bp} * {CURVE_EST_SCALE}, nv_{bp}"
+        for bp in _CURVE_BPS
+    )
+    return wide.selectExpr(
+        f"stack({len(_CURVE_BPS)}, {stack_args}) AS "
+        "(threshold, n_pairs_sampled, est_pairs, n_vecs_sampled)"
     )

@@ -444,3 +444,35 @@ def test_index_evolution_catches_admitted_dups(spark):
     }
     assert admitted_hits, "no phase-2 doc matched an admitted phase-1 doc"
     assert set(admitted_hits) >= {50, 82}
+
+
+def test_sampled_curve_estimator_tracks_exact(spark):
+    """neardup_curve_sampled's est_pairs (sampled count x 1/q^2) must
+    track the exact curve's n_pairs per threshold. Each qualifying
+    pair survives the md5 vector sample with probability q^2 = 1/4, so
+    est_pairs is unbiased — but pairs sharing a hub vector survive
+    TOGETHER, so the variance exceeds binomial and small counts are
+    legitimately noisy (sf0.01's 59-pair grid point read 1.6x high).
+    Runs at sf0.1 where the low grid points have hundreds of pairs
+    (920 -> est 928; 144 -> est 168); thresholds under 100 exact pairs
+    are skipped."""
+    from big_data_competition_dxc_spark import plans
+
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        r.threshold: r.n_pairs
+        for r in plans.QUERIES["neardup_threshold_curve"].fn(spark, sf).collect()
+    }
+    sampled = plans.QUERIES["neardup_curve_sampled"].fn(spark, sf).collect()
+    assert {r.threshold for r in sampled} == set(exact)
+    checked = 0
+    for r in sampled:
+        assert r.est_pairs == r.n_pairs_sampled * 4
+        if exact[r.threshold] >= 100:
+            assert 0.7 * exact[r.threshold] <= r.est_pairs <= 1.3 * exact[r.threshold], (
+                r.threshold,
+                r.est_pairs,
+                exact[r.threshold],
+            )
+            checked += 1
+    assert checked >= 1, "no threshold had enough pairs to check the estimator"

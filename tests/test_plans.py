@@ -138,6 +138,7 @@ _BNLJ_OK = {
     "triangle_count_cosupply",  # 1-row nodes/edges/tri/wedge scalar attaches
     "triangle_count_sampled",   # same 1-row scalar attaches, sampled graph
     "neardup_threshold_curve",  # 1-row x 1-row conditional-sum attach
+    "neardup_curve_sampled",    # same attach shape on the sampled pair space
     "hll_sketch_rollup",        # 1-row exact-count scalar attach to the merged sketch
     "theta_overlap_check",      # 1-row min-day + estimate + exact-overlap attaches
     "ann_multiprobe_recall",    # five 1-row count scalars attach into the summary
