@@ -14,10 +14,20 @@ neighbors; converges in O(graph diameter) rounds. Near-dup families are
 dense and tiny (diameter 1-3), so this beats the O(log n)-round
 large-star/small-star of Kiveris et al. (CC in MapReduce, SoCC'14) in
 practice: fewer rounds AND each round is one shuffle on the node id.
+Propagation runs ONLY over edge-touched nodes (r9): singletons can
+never change label, so the per-round frames are O(|V(E)|), not O(N) —
+at sf1 that's 4,770 label rows instead of 50,000, and at 100 TB the
+iteration cost tracks the (sparse) near-dup graph, not the corpus.
+Untouched nodes rejoin once at the end via a left join + coalesce.
 Driver involvement per round is a single scalar (sum of labels,
 monotonically decreasing — the convergence test); labels stay
 distributed throughout, lineage truncated per round with
 localCheckpoint so plans don't grow with iteration count.
+
+r9 profiling note: the family's sf1 cost was 31.7s pair detection +
+4.4s propagation — the fix that mattered was the shuffle_hash hint in
+jaccard_pairs_frame (dedup/jaccard.py), not the CC kernel; large-star/
+small-star would have optimized the cheap 4.4s term.
 """
 
 from __future__ import annotations
@@ -38,6 +48,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     Each round: one shuffle to aggregate neighbor minima, one broadcast-
     able left join back onto the label frame, one scalar to the driver.
+    Only edge-touched nodes iterate; untouched nodes (which can never
+    change label) are appended at the end via left join + coalesce.
     Raises if MAX_ROUNDS rounds don't converge (diameter > MAX_ROUNDS —
     not a near-dup graph shape)."""
     sym = (
@@ -45,7 +57,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    # sym holds both directions, so distinct u covers every endpoint.
+    # Checkpoints inside the loop are LAZY: the convergence-sum action
+    # right after materializes them, so each round costs one job
+    # (checkpoint+sum fused), not two — at fixture scale the rounds are
+    # pure job overhead and this halves it (r9: 2.5s -> 1.3s/round sf1).
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(MAX_ROUNDS):
         nmin = (
@@ -59,7 +81,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels.unpersist()
         labels = new_labels
@@ -68,7 +90,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             sym.unpersist()
-            return labels
+            return nodes.join(labels, "id", "left").select(
+                "id", F.coalesce("label", "id").alias("label")
+            )
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {MAX_ROUNDS} rounds")
 

@@ -77,11 +77,26 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 def jaccard_pairs_frame(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair with 3-word-shingle Jaccard
     >= JACCARD_THRESHOLD (doc_a < doc_b, jaccard unrounded). The reusable
-    edge source for near-dup clustering (dedup/clustering.py)."""
+    edge source for near-dup clustering (dedup/clustering.py).
+
+    The shingle self-join carries a ``shuffle_hash`` hint: Catalyst's
+    default SortMergeJoin sorts both 2.6M-row shingle sides by the
+    17-char shingle string (sf1: 21s for the join+count stage), while a
+    ShuffledHashJoin builds per-partition hash maps and streams — same
+    exchange, no sorts, 3s measured (r9 A/B, SCALING.md). The hint is a
+    physical-strategy change only; logical output is untouched. At 100 TB
+    size ``spark.sql.shuffle.partitions`` so the build side's largest
+    partition fits executor memory (shingle frequency is zipf-flat here,
+    max 25 at sf1 — no single hot key); Spark 3+ SHJ spills on overflow.
+    An AllPairs prefix-filter variant (Bayardo et al., WWW'07) was
+    measured 3x SLOWER at sf1 (78s): 3.6x candidate reduction doesn't
+    repay the freq-join + per-doc window + distinct + array-verify
+    stages at this shingle-frequency profile — revisit only if a corpus
+    shows hot shingles (max f >> partition size)."""
     sh = shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

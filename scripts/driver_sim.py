@@ -6,6 +6,11 @@
    value hash. Queries without an oracle get a rows-only check.
 
 Exit code 0 iff everything matches. Run from the repo root.
+
+``--only name1,name2`` restricts the t2 gate to the named queries (for
+targeted re-checks after editing one family; the smoke step still runs).
+The FULL sweep remains the standing regression net — run it before any
+round-end commit.
 """
 
 from __future__ import annotations
@@ -57,6 +62,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in names}
     print(f"{len(qs)} queries, {len(oracles)} oracles")
     failures = []
     for name, fn in sorted(qs.items()):

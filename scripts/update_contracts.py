@@ -110,6 +110,16 @@ def main(bootstrap: bool = False) -> None:
     with open(contracts_path, "w") as f:
         json.dump(contracts, f, indent=1, sort_keys=True)
         f.write("\n")
+    # invariant (r8 verdict item 3; pinned by tests/test_entry.py::
+    # test_latest_green_queries_are_stamped): after stamping, every
+    # latest-green registry query carries that round's proven_round.
+    lagging = [
+        n
+        for n, r in proven.items()
+        if n in plans.QUERIES and contracts.get(n, {}).get("proven_round") != r
+    ]
+    if lagging:
+        raise SystemExit(f"stamping invariant violated: {lagging}")
     print(
         f"stamped {stamped} changed / {len(proven)} proven entries "
         f"({len(contracts)} total) from {[os.path.basename(p) for p in history]}"

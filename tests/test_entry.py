@@ -168,3 +168,43 @@ def test_contracts_sidecar_matches_current_tree():
             # a mismatch is a re-prove request: it must land inside the
             # driver's ~50-query sampling window at the rotation head
             assert pos[name] < 50, name
+
+
+def test_latest_green_queries_are_stamped():
+    """The round-start stamping invariant (r8 verdict item 3): every
+    query with a green row in the LATEST CORRECTNESS file that still
+    exists in the registry must have a sidecar entry whose proven_round
+    is at least that file's round. Fingerprint equality is NOT asserted
+    here — mid-round edits legitimately flip fingerprints; proven_round
+    is the part that must never lag once update_contracts.py has run."""
+    import glob
+    import os
+
+    mod = importlib.import_module("__spark_entry__")
+    from big_data_competition_dxc_spark import plans
+
+    here = os.path.dirname(mod.__file__)
+    history = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int("".join(ch for ch in os.path.basename(p) if ch.isdigit())),
+    )
+    sidecar = os.path.join(here, mod.CONTRACTS_FILE)
+    if not history or not os.path.exists(sidecar):
+        return  # pre-bootstrap tree
+    latest = history[-1]
+    rnd = int("".join(ch for ch in os.path.basename(latest) if ch.isdigit()))
+    with open(latest) as f:
+        records = json.load(f)
+    with open(sidecar) as f:
+        contracts = json.load(f)
+    lagging = [
+        name
+        for name, rec in records.items()
+        if mod._record_succeeded(rec)
+        and name in plans.QUERIES
+        and contracts.get(name, {}).get("proven_round", -1) < rnd
+    ]
+    assert not lagging, (
+        f"run scripts/update_contracts.py at round start — green r{rnd} "
+        f"queries with a stale/missing sidecar entry: {lagging}"
+    )

@@ -347,6 +347,17 @@ def test_shuffle_hash_hint_respected(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_jaccard_intersect_join_is_shuffled_hash(spark):
+    """The shingle self-join in jaccard_pairs_frame must plan as a
+    ShuffledHashJoin: the r9 A/B measured SMJ's two string sorts at 21s
+    vs SHJ's 3s on the same exchange at sf1 (SCALING.md). The join
+    condition includes the `s = s` equi-key, so a regression to SMJ is
+    silent — pin the physical strategy."""
+    df = plans.QUERIES["ngram_jaccard_pairs"].fn(spark, SF_TEST_DIR)
+    plan = _formatted(df)
+    assert "ShuffledHashJoin" in plan
+
+
 def test_load_handles_both_timestamp_flavors(spark, tmp_path):
     """The fixture generator has shipped events.ts as TIMESTAMP(NANOS)
     in some rounds and TIMESTAMP(US, no tz) in others; load() must
