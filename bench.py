@@ -322,15 +322,25 @@ def main() -> None:
             if v > 0 and n in trail and v > 1.5 * trail[n]
         }
 
-    # Spotlight rotation: the headline set has been frozen since r6, so
+    # Spotlight rotation: the headline set has been frozen since r6
+    # (modulo the documented r8 addition, see the compact-line note), so
     # 200+ registry queries have correctness rows but no wall-clock
     # history. Each round benches SPOTLIGHT_K additional queries at
-    # both scales, selected deterministically by round number over the
-    # non-headline registry ordered heavy-families-first (graph, audit,
-    # streaming, behavioral — the ones whose plan regressions would
-    # hurt most at 100 TB), so coverage rotates through the whole
-    # registry across rounds; any flagged ratio gets a plan audit in
-    # PLANS.md.
+    # both scales over the non-headline registry ordered
+    # heavy-families-first (graph, audit, streaming, behavioral — the
+    # ones whose plan regressions would hurt most at 100 TB); any
+    # flagged ratio gets a plan audit in PLANS.md.
+    #
+    # Selection (r9, replacing the r8 arithmetic offset): the offset
+    # form ((round-8)*K) % len(pool) aliased whenever the pool grew or
+    # reordered — registry growth could repeat some queries and skip
+    # others forever. Coverage is now HISTORY-DRIVEN: the recorded
+    # artifacts (BENCH_r*.json wrappers + bench_r*_dev.json full lines)
+    # say which queries have ever been spotlighted and in which round;
+    # each round picks the K longest-unspotlighted (never-spotlighted
+    # first), ties broken by the heavy-families-first pool order. New
+    # registry entries join the never-spotlighted front of the queue
+    # automatically; renames simply re-enter as new names.
     SPOTLIGHT_K = 8
     _HEAVY = {
         "graph": 0,
@@ -342,6 +352,36 @@ def main() -> None:
         "similarity": 6,
         "textops": 7,
     }
+
+    def _spotlight_history() -> dict[str, int]:
+        """name -> latest round it was spotlighted in, from every
+        recorded artifact (canonical wrappers and committed dev runs).
+        Unparseable or pre-spotlight artifacts contribute nothing."""
+        seen: dict[str, int] = {}
+        for path in glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+            os.path.join(here, "bench_r*_dev*.json")
+        ):
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(rec, dict):
+                continue
+            if "parsed" in rec:  # driver wrapper
+                rec = rec.get("parsed")
+                if not isinstance(rec, dict):
+                    continue
+            spot = rec.get("spot") or rec.get("spotlight") or {}
+            rnd = spot.get("round")
+            if not isinstance(rnd, int):
+                continue
+            names = spot.get("names") or list(
+                spot.get("ratio") or spot.get("q_min") or {}
+            )
+            for n in names:
+                seen[n] = max(seen.get(n, rnd), rnd)
+        return seen
 
     def _spotlight_names(round_no: int) -> list[str]:
         def fam(entry) -> int:
@@ -357,9 +397,11 @@ def main() -> None:
         ]
         if not pool:
             return []
-        # r8 is the first spotlight round — start the rotation at 0
-        off = ((round_no - 8) * SPOTLIGHT_K) % len(pool)
-        return [pool[(off + i) % len(pool)] for i in range(min(SPOTLIGHT_K, len(pool)))]
+        hist = _spotlight_history()
+        # stable sort: never-spotlighted (-1) lead in pool order, then
+        # oldest-round-first — a true no-repeat-until-exhausted queue
+        pool.sort(key=lambda n: hist.get(n, -1))
+        return pool[:SPOTLIGHT_K]
 
     # min_attempts=2 on BOTH blocks: the per-query minima that feed the
     # 10x ratios must have symmetric warmth (with the scale block alone
@@ -555,6 +597,17 @@ def main() -> None:
     def _r2(d: dict) -> dict:
         return {k: round(v, 2) for k, v in sorted(d.items())}
 
+    def _att(attempt_list: list[dict]) -> list[list]:
+        """Compact per-attempt [wall_total, steal, probe] triples — the
+        environment floor of a block. With these in the canonical
+        artifact, an accepted:false block is self-explaining (the r8
+        scale block shipped accepted:false/steal=1597 and a reader had
+        to cross-check the committed dev artifact to learn the numbers
+        themselves were fine)."""
+        return [
+            [a["value"], a["steal_jiffies"], a["cpu_probe_sec"]] for a in attempt_list
+        ]
+
     compact = {
         "metric": "headline_summary",
         "value": total,
@@ -563,7 +616,14 @@ def main() -> None:
         "probe": probe,
         "steal": steal_main,
         "accepted": accepted,
+        "att": _att(attempts),
         "normalized": out["value_probe_normalized"],
+        # headline-set change history (value/normalized comparability):
+        # frozen 16 queries r6-r7; r8 added the two bounded simhash
+        # twins (simhash_neardup_summary, simhash_neardup_topk_per_doc)
+        # — cross-round totals compare on the r7 16-query subset via
+        # q_min, or here via n_queries.
+        "n_queries": len(timings),
         "trailing_flags": sorted(out["trailing_flags"]),
         "q_min": _r2(main_run["queries_min"]),
     }
@@ -573,18 +633,29 @@ def main() -> None:
             "probe": scale_check["cpu_probe_sec"],
             "steal": scale_check["steal_jiffies"],
             "accepted": scale_check["noise_gate"]["accepted"],
+            "att": _att(scale_check["noise_gate"]["attempts"]),
             "trailing_flags": sorted(scale_check["trailing_flags"]),
             "q_min": _r2(scale_check["queries_min_of_attempts"]),
         }
     if spotlight is not None and "ratio_vs_main" in spotlight:
         compact["spot"] = {
             "round": spotlight["round"],
+            # names are never budget-dropped: the r9 history-driven
+            # rotation reads them back from canonical wrappers
+            "names": spotlight["names"],
             "ratio": spotlight["ratio_vs_main"],
             "q_min": _r2(spotlight["sf_main"]["queries_min_of_attempts"]),
             "q_min_scale": _r2(spotlight["sf_scale"]["queries_min_of_attempts"]),
             "accepted": [
                 spotlight["sf_main"]["accepted"],
                 spotlight["sf_scale"]["accepted"],
+            ],
+            # per-attempt [wall_total, steal_jiffies, cpu_probe_sec] for
+            # both spotlight blocks — an accepted:false block carries
+            # its own environment evidence (r8 verdict item 4)
+            "att": [
+                _att(spotlight["sf_main"]["attempts"]),
+                _att(spotlight["sf_scale"]["attempts"]),
             ],
         }
     TAIL_BUDGET = 1900
@@ -594,6 +665,11 @@ def main() -> None:
         ("scale", "q_min"),
         ("q_min",),
         ("spot", "ratio"),
+        # attempt histories go last — they are the exculpatory evidence
+        # for accepted:false blocks; spot names are never dropped (the
+        # history-driven rotation reads them back from the wrapper)
+        ("spot", "att"),
+        ("scale", "att"),
     ):
         s = json.dumps(compact, separators=(",", ":"))
         if len(s) <= TAIL_BUDGET:

@@ -366,11 +366,12 @@ def _user_cosine_pairs(
         n_qitems = qitems.count()
         norm_path = "pruned" if n_qitems * ITEM_CAP * 4 < n_users else "full"
     if norm_path == "pruned":
-        # selective regime: b is small by construction, so the cache
-        # barrier that sank this path at fixture scale is cheap here
-        # (skipped in plan-audit mode, which needs the raw tree)
-        if not audit_mode:
-            b = b.cache()
+        # selective regime: b is small by construction, so letting its
+        # subtree recompute for the cand_users branch is cheap — an
+        # uncleared .cache() here would leak one pinned DataFrame per
+        # forced-pruned call for the life of the session (r8 advice;
+        # bench's hygiene only clears the memos below, and this frame
+        # is parameter-dependent so it must NOT join those memos).
         cand_users = (
             b.select(F.col("v").alias("user_id"))
             .union(a.select(F.col("u").alias("user_id")))

@@ -185,6 +185,117 @@ def _block_pair_sims(
     )
 
 
+_EMB_PAIRS_SQL = f"""
+  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+  ),
+  sym AS (
+    SELECT vec_a AS vec_id, vec_b AS other_vec_id, cos_sim FROM pairs
+    UNION ALL
+    SELECT vec_b AS vec_id, vec_a AS other_vec_id, cos_sim FROM pairs
+  )
+"""
+
+EMB_TOPK = 3  # per-vector matches kept by the bounded production form
+
+
+def _sym_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup_pairs symmetrized to one row per (vector,
+    match) direction — the input both bounded twins cut down."""
+    pairs = _block_pair_sims(spark, sf_dir, NEARDUP_COS)
+    return pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("other_vec_id"),
+        "cos_sim",
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("other_vec_id"),
+            "cos_sim",
+        )
+    )
+
+
+@query(
+    "embedding_neardup_topk_per_doc",
+    oracle=f"""
+WITH {_EMB_PAIRS_SQL},
+ranked AS (
+  SELECT vec_id, other_vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, other_vec_id) AS match_rank,
+         COUNT(*) OVER (PARTITION BY vec_id) AS n_matches
+  FROM sym
+)
+SELECT vec_id, CAST(match_rank AS INT) AS match_rank, other_vec_id, cos_sim,
+       CAST(n_matches AS BIGINT) AS n_matches
+FROM ranked WHERE match_rank <= {EMB_TOPK}
+""",
+    tags=("similarity", "dedup", "bounded"),
+)
+def embedding_neardup_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-{EMB_TOPK} nearest qualifying matches (plus the
+    vector's total match count): the bounded production form of
+    embedding_neardup_pairs — the r15/r16 spotlight preview measured
+    the pair LISTING's output growing 202x at 10x data (SCALING.md),
+    the same listing-form scale-killer the simhash/minhash families
+    fixed with their r8 twins. Same block-partitioned exact pair join;
+    the pair set is symmetrized and cut per vector with a row_number
+    window (deterministic order: rounded cosine desc, other id asc),
+    so output is O(k) per matched vector — linear in corpus — however
+    dense the qualifying-pair space gets. Wall cost still pays the
+    exact pair scoring (that is inherent to exactness; the sampled
+    estimator `neardup_curve_sampled` is the quadratic-wall escape
+    hatch) — what this form fixes is the OUTPUT volume a downstream
+    canonical-assignment join would otherwise re-shuffle."""
+    from pyspark.sql import Window
+
+    sym = _sym_pairs(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("other_vec_id").asc()
+    )
+    wc = Window.partitionBy("vec_id")
+    return (
+        sym.withColumn("match_rank", F.row_number().over(w))
+        .withColumn("n_matches", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("match_rank") <= EMB_TOPK)
+        .select("vec_id", "match_rank", "other_vec_id", "cos_sim", "n_matches")
+    )
+
+
+@query(
+    "embedding_neardup_summary",
+    oracle=f"""
+WITH {_EMB_PAIRS_SQL}
+SELECT CAST(FLOOR(cos_sim * 20) AS BIGINT) AS sim_band,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_docs
+FROM sym GROUP BY 1
+""",
+    tags=("similarity", "dedup", "bounded"),
+)
+def embedding_neardup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-band histogram of the qualifying pair set (0.05-wide
+    rounded-cosine bands: band = floor(cos*20), so 0.40-0.45 -> 8):
+    the constant-size calibration form — at most ~12 output rows at ANY
+    corpus size (cos in [0.4, 1.0]). The threshold-calibration
+    consumer reads this, not the pair listing; one extra groupBy over
+    the same block-partitioned join. Banding uses the ROUNDED cosine
+    (both engines band the identical 4-decimal value — banding the raw
+    cosine would put boundary pairs in different bands per engine)."""
+    sym = _sym_pairs(spark, sf_dir)
+    return sym.groupBy(
+        F.floor(F.col("cos_sim") * 20).cast("bigint").alias("sim_band")
+    ).agg(
+        (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("vec_id").cast("bigint").alias("n_docs"),
+    )
+
+
 @query(
     "lsh_bucket_stats",
     oracle=f"""

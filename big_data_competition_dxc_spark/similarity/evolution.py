@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
+from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..similarity.cosine import _SQL_COS, as_double, dot
 from ..sources import load
@@ -198,7 +199,12 @@ def ann_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("q_id", "n_cand", "n_adm", "c_id", "sim")
     )
-    return (
+    # Materialize the (|q2|-row) result eagerly so the corpus-sized
+    # signature cache can be unpersisted before returning — bench's
+    # session hygiene only clears the ml/recommend memos, so without
+    # this the cache pins executor memory for the whole driver session
+    # (r8 advice).
+    out = result_checkpoint(
         q2.select(F.col("vec_id").alias("q_id"))
         .join(best, "q_id", "left")
         .select(
@@ -211,3 +217,5 @@ def ann_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim").alias("best_sim"),
         )
     )
+    sig.unpersist()
+    return out

@@ -99,7 +99,8 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exact_top.q_id == ivf_top.q_id) & (exact_top.true_hit == ivf_top.ivf_hit),
         "left",
     ).groupBy(exact_top.q_id.alias("q_id")).agg(
-        (F.count("ivf_hit") / F.lit(TOPK)).alias("recall_at_k")
+        F.count("ivf_hit").cast("bigint").alias("n_hits"),
+        (F.count("ivf_hit") / F.lit(TOPK)).alias("recall_at_k"),
     )
     n_total = inv.count()
     scanned = (
@@ -111,6 +112,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(scanned, "q_id")
         .select(
             "q_id",
+            "n_hits",
             round_to(F.col("recall_at_k"), 4).alias("recall_at_k"),
             round_to(F.col("scan_frac"), 4).alias("scan_frac"),
         )
@@ -119,6 +121,18 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     emb.unpersist()
     inv.unpersist()
+    # audited determinism scalar (r9, the ML8/ML10/ML12 treatment): the
+    # total exact-top-k hits across all queries as one integer. The
+    # driver's rows-only check previously pinned only "20 rows
+    # returned"; this column turns it into a determinism pin —
+    # tests/test_ml.py asserts it is identical across two runs, and any
+    # seed/centroid/ranking regression changes it.
+    total_hits = sum(r["n_hits"] for r in rows)
     return spark.createDataFrame(
-        rows, "q_id bigint, recall_at_k double, scan_frac double"
+        [
+            (r["q_id"], r["n_hits"], r["recall_at_k"], r["scan_frac"], total_hits)
+            for r in rows
+        ],
+        "q_id bigint, n_hits bigint, recall_at_k double, scan_frac double,"
+        " audit_total_hits bigint",
     )

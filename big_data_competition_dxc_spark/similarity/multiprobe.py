@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
+from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..similarity.cosine import _SQL_COS, as_double, dot
 from ..sources import load
@@ -195,10 +196,13 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count("*").cast("bigint").alias(name))
 
-    # five 1-row aggregates attach into the single summary row (lazy —
-    # the caches above are bounded: |queries| + |corpus| + k|queries|
-    # rows; session hygiene drops them between bench queries)
-    return (
+    # five 1-row aggregates attach into the single summary row. The
+    # summary is materialized EAGERLY (result_checkpoint) so the four
+    # caches above — corpus-sized, NOT cleared by bench's session
+    # hygiene, which only clears the ml/recommend memos — can be
+    # unpersisted before returning instead of pinning executor memory
+    # for the life of a multi-query driver session (r8 advice).
+    out = result_checkpoint(
         n(exact, "exact_pairs")
         .join(n(single, "single_candidates"))
         .join(n(multi, "multi_candidates"))
@@ -214,3 +218,6 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "multi_hits",
         )
     )
+    for c in (qs, corpus, exact, cand):
+        c.unpersist()
+    return out

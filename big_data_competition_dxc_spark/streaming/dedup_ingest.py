@@ -54,6 +54,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,16 +87,27 @@ LAST_PROBE_PLANS: list[str] = []
 LAST_VERIFY_PLANS: list[str] = []
 
 
+_PLAN_CAPTURE_LOCK = threading.Lock()
+
+
 def _formatted_plan(df: DataFrame) -> str:
     """Formatted physical plan via the PUBLIC API only: capture the
     stdout of ``df.explain(mode="formatted")`` instead of reaching into
     ``_jdf``/``_jvm`` py4j internals (which drift across releases and
-    don't exist under Spark Connect)."""
+    don't exist under Spark Connect).
+
+    ``redirect_stdout`` swaps the PROCESS-GLOBAL ``sys.stdout``, and
+    this runs inside streaming ``foreachBatch`` — a concurrent thread
+    printing during the capture window would have its output swallowed
+    into the plan buffer (or plan text could leak onto real stdout,
+    breaking bench's one-JSON-line contract). Batches are sequential
+    today, so the module lock is cheap insurance, not a hot path
+    (r8 advice)."""
     import contextlib
     import io
 
     buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
+    with _PLAN_CAPTURE_LOCK, contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
     return buf.getvalue()
 

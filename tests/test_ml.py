@@ -147,6 +147,15 @@ def test_ann_ivf_recall(spark):
     assert mean_scan < 0.6
     assert mean_recall > 0.5
     assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+    # audited determinism scalar (r9): constant across rows, consistent
+    # with the per-query integers, identical across two runs — the
+    # rows-only driver check pins this value, so seeded KMeans +
+    # deterministic ranking must reproduce it exactly.
+    audits = {r["audit_total_hits"] for r in rows}
+    assert audits == {sum(r["n_hits"] for r in rows)}
+    assert all(r["n_hits"] == round(r["recall_at_k"] * 10) for r in rows)
+    rerun = _run("ann_ivf_recall", spark).collect()
+    assert {r["audit_total_hits"] for r in rerun} == audits
 
 
 def test_stratified_sample_fractions(spark):
