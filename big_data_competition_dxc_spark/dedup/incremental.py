@@ -127,7 +127,9 @@ def verify_decisions(
     measured 4.4s -> ~2.9s at sf0.1)."""
     sizes_d = sh_d.groupBy("doc_id").agg(F.count("*").alias("n"))
     sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh_d.alias("x"), sh_c.alias("y")
+    # shuffle_hash on the corpus shingle side of the verify join — the
+    # same SMJ-sorts-dominate finding as minhash/jaccard (r9, SCALING.md)
+    x, y = sh_d.alias("x"), sh_c.hint("shuffle_hash").alias("y")
     inter = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_d"))
         .join(y, (F.col("y.doc_id") == F.col("doc_c")) & (F.col("y.s") == F.col("x.s")))

@@ -103,7 +103,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all ROWS_PER_BAND minhashes
     in at least one band."""
     bands = _bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
+    # shuffle_hash: same band self-join as minhash_dedup_verified's
+    # candidate stage (r9 A/B: SMJ sorts were the cost, see SCALING.md)
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -179,7 +181,11 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it is cached (S8, M:246) instead of re-exploding the corpus 3x."""
     sh = shingle_rows(load(spark, sf_dir, "documents")).cache()
     bands = _band_rows(_signature(sh))
-    ba, bb = bands.alias("a"), bands.alias("b")
+    # shuffle_hash hints on the band self-join's build side and the
+    # verify join's shingle side: SMJ sorts dominated both stages
+    # (r9 A/B at sf1: candidates 2.7s -> 1.6s, verify 4.8s -> 4.2s;
+    # same exchanges, byte-identical rows).
+    ba, bb = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     cand = (
         ba.join(
             bb,
@@ -191,7 +197,7 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
+    x, y = sh.alias("x"), sh.hint("shuffle_hash").alias("y")
     inter = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))

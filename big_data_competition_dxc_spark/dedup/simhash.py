@@ -132,7 +132,11 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = keyed.selectExpr(
         "doc_id", "simhash", f"stack({NUM_CHUNKS}, {stack_args}) as (chunk, key)"
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # shuffle_hash on the build side: the bucket self-join's SMJ sorts
+    # were the query's hot spot (r9 A/B at sf1: 9.4s -> 4.0s for the
+    # candidate stage, same exchange, byte-identical rows — the same
+    # physical-strategy lesson as the jaccard shingle join).
+    a, b = buckets.alias("a"), buckets.hint("shuffle_hash").alias("b")
     cand = a.join(
         b,
         (F.col("a.chunk") == F.col("b.chunk"))
