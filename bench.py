@@ -354,13 +354,15 @@ def main() -> None:
     }
 
     def _spotlight_history() -> dict[str, int]:
-        """name -> latest round it was spotlighted in, from every
-        recorded artifact (canonical wrappers and committed dev runs).
-        Unparseable or pre-spotlight artifacts contribute nothing."""
+        """name -> latest round it was spotlighted in, from CANONICAL
+        driver wrappers only (BENCH_r*.json). Committed dev artifacts
+        are deliberately excluded: a builder-side dev run earlier in
+        the same round would otherwise mark the round's batch as
+        already-covered and push the driver's canonical run onto the
+        NEXT batch — the canonical record is the coverage that counts.
+        Unparseable or pre-spotlight wrappers contribute nothing."""
         seen: dict[str, int] = {}
-        for path in glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
-            os.path.join(here, "bench_r*_dev*.json")
-        ):
+        for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
             try:
                 with open(path) as f:
                     rec = json.load(f)
