@@ -136,3 +136,76 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= MIN_SHARED)
     )
+
+TOP_K_OVERLAPS = 3  # per-doc matches kept by the bounded production form
+
+
+@query(
+    "winnow_overlap_topk_per_doc",
+    oracle=f"""
+WITH {_FP_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SHARED}
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS other_doc_id, shared_fps FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS other_doc_id, shared_fps FROM pairs
+),
+ranked AS (
+  SELECT doc_id, other_doc_id, shared_fps,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY shared_fps DESC, other_doc_id) AS match_rank,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+  FROM sym
+)
+SELECT doc_id, CAST(match_rank AS INT) AS match_rank, other_doc_id,
+       shared_fps, CAST(n_matches AS BIGINT) AS n_matches
+FROM ranked WHERE match_rank <= {TOP_K_OVERLAPS}
+""",
+    tags=("textops", "fingerprint", "dedup", "bounded"),
+)
+def winnow_overlap_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-{TOP_K_OVERLAPS} strongest fingerprint overlaps (plus
+    the doc's total overlap count): the bounded production form of
+    winnow_overlap_pairs. The listing form emits the FULL qualifying
+    pair set — 8.9M rows at sf0.1 on this fixture (text with a shared
+    vocabulary makes >= {MIN_SHARED} shared fingerprints near-universal),
+    so its output grows ~n² and the downstream copied-passage triage
+    would re-shuffle it all. This form symmetrizes the pair set and
+    keeps each document's strongest {TOP_K_OVERLAPS} counterparts
+    (shared_fps desc, other id asc — deterministic), so output is O(k)
+    per doc. The pair aggregation itself is still paid — that cost is
+    the fixture's fingerprint collision density, not the plan; at
+    100 TB cap ultra-common fingerprints (module docstring) before the
+    join. The fp equi-join deliberately stays a SortMergeJoin: an r9
+    shuffle_hash A/B measured 14.1s vs 4.96s at sf0.1 IN FAVOR of SMJ —
+    with dense many-to-many keys the sorted-run merge beats per-row
+    hash probes (the OPPOSITE of the jaccard/simhash/minhash result;
+    measure per join, never blanket-hint)."""
+    pairs = winnow_overlap_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("other_doc_id"),
+        "shared_fps",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("other_doc_id"),
+            "shared_fps",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("shared_fps").desc(), F.col("other_doc_id").asc()
+    )
+    wc = Window.partitionBy("doc_id")
+    return (
+        sym.withColumn("match_rank", F.row_number().over(w))
+        .withColumn("n_matches", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("match_rank") <= TOP_K_OVERLAPS)
+        .select("doc_id", "match_rank", "other_doc_id", "shared_fps", "n_matches")
+    )
