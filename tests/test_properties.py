@@ -251,3 +251,48 @@ def test_md5_bigint_matches_duckdb(spark, texts):
     con.close()
     assert got == want
     assert all(v >= 0 for v in got)  # 60 bits: never negative
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_random_graphs(spark, raw_edges):
+    """connected_components vs a pure-Python union-find on random small
+    graphs (self-loops and duplicate edges included — the kernel must
+    tolerate both). Pins the r9 rewrite: propagation runs only over
+    edge-touched nodes, so isolated nodes exercise the left-join +
+    coalesce path every example."""
+    from pyspark.sql import functions as F
+
+    from big_data_competition_dxc_spark.dedup.clustering import (
+        connected_components,
+    )
+
+    node_ids = list(range(25))
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in raw_edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = {i: find(i) for i in node_ids}
+
+    edges_rows = [(u, v) for u, v in raw_edges if u != v]
+    if edges_rows:
+        edges = spark.createDataFrame(edges_rows, "u bigint, v bigint")
+    else:
+        edges = spark.createDataFrame([], "u bigint, v bigint")
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id bigint")
+    got = {r["id"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == expected
