@@ -38,7 +38,14 @@ def _fingerprint(entry: plans.QueryEntry) -> str:
     until the driver re-proves it. Replaces the hand-maintained
     ``contract_bump_round`` dict, whose failure mode (a rewrite nobody
     remembered to bump — r7's stream_incremental_dedup) was exactly
-    that it relied on a human noticing the change."""
+    that it relied on a human noticing the change.
+
+    Known granularity limit: only the REGISTERED function's source is
+    hashed, so an edit to a shared helper it calls does not flip its
+    callers (hashing whole modules would flip every query on any
+    comment edit — worse). Helper edits therefore need a manual
+    re-proof (scripts/driver_sim.py --only ...) in the editing round;
+    the full-sweep regression net catches anything missed."""
     try:
         src = inspect.getsource(entry.fn)
     except (OSError, TypeError):  # builtins / REPL-defined: fall back
