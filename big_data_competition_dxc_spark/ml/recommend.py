@@ -365,13 +365,19 @@ def _user_cosine_pairs(
         n_users = r.select("user_id").distinct().count()
         n_qitems = qitems.count()
         norm_path = "pruned" if n_qitems * ITEM_CAP * 4 < n_users else "full"
+    b_cached = None
     if norm_path == "pruned":
-        # selective regime: b is small by construction, so letting its
-        # subtree recompute for the cand_users branch is cheap — an
-        # uncleared .cache() here would leak one pinned DataFrame per
-        # forced-pruned call for the life of the session (r8 advice;
-        # bench's hygiene only clears the memos below, and this frame
-        # is parameter-dependent so it must NOT join those memos).
+        # selective regime: b feeds BOTH the cand_users branch and the
+        # pair join, and its subtree pays a window over the
+        # item-restricted ratings — recomputing it twice measurably
+        # regressed knn at sf1 (r9: 2.2s -> 3.3s when the r8-advice fix
+        # naively dropped the cache). So: cache on the canonical path
+        # and RELEASE it right after the pairs memo materializes below
+        # (no session leak — the r8 advice's actual complaint). Forced
+        # (non-canonical) calls skip the cache: they are test-only,
+        # correctness-checked, and must not pin anything.
+        if not audit_mode and canonical:
+            b = b_cached = b.cache()
         cand_users = (
             b.select(F.col("v").alias("user_id"))
             .union(a.select(F.col("u").alias("user_id")))
@@ -408,6 +414,13 @@ def _user_cosine_pairs(
         return out
     out = out.cache()
     _PAIRS_MEMO[memo_key] = out
+    if b_cached is not None:
+        # materialize the memo now so the b cache can release
+        # immediately instead of pinning until the caller's first
+        # action (the memo would have materialized then anyway — this
+        # only moves the work, it doesn't add any)
+        out.count()
+        b_cached.unpersist()
     return out
 
 
