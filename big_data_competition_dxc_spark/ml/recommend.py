@@ -234,6 +234,10 @@ _COS_PAIRS_SQL = f"""
 # between-pipeline block cleanup (see bench.py's _release_leaked_state).
 _RATINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# the pruned norm path's capped-contributor frame (canonical auto
+# derivation only — see _user_cosine_pairs): cached because the pairs
+# plan references it twice, tracked here so clear_memos releases it
+_PRUNED_B_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -248,7 +252,7 @@ def _evict_other_sessions(key: tuple[str, str]) -> None:
     pin their (possibly stopped) SparkSession, so the memos hold at
     most the live session's frames. Eviction is a plain del — the dead
     session's executors are gone, there is nothing to unpersist."""
-    for memo in (_RATINGS_MEMO, _PAIRS_MEMO):
+    for memo in (_RATINGS_MEMO, _PAIRS_MEMO, _PRUNED_B_MEMO):
         for k in [k for k in memo if k[0] != key[0]]:
             del memo[k]
 
@@ -257,7 +261,7 @@ def clear_memos() -> None:
     """Session-teardown / bench-cleanup hook: unpersist and forget every
     memoized frame (best-effort — a stopped session raises on
     unpersist, which is fine because its blocks died with it)."""
-    for memo in (_RATINGS_MEMO, _PAIRS_MEMO):
+    for memo in (_RATINGS_MEMO, _PAIRS_MEMO, _PRUNED_B_MEMO):
         for df in memo.values():
             try:
                 df.unpersist(False)
@@ -365,19 +369,22 @@ def _user_cosine_pairs(
         n_users = r.select("user_id").distinct().count()
         n_qitems = qitems.count()
         norm_path = "pruned" if n_qitems * ITEM_CAP * 4 < n_users else "full"
-    b_cached = None
     if norm_path == "pruned":
         # selective regime: b feeds BOTH the cand_users branch and the
         # pair join, and its subtree pays a window over the
         # item-restricted ratings — recomputing it twice measurably
-        # regressed knn at sf1 (r9: 2.2s -> 3.3s when the r8-advice fix
-        # naively dropped the cache). So: cache on the canonical path
-        # and RELEASE it right after the pairs memo materializes below
-        # (no session leak — the r8 advice's actual complaint). Forced
-        # (non-canonical) calls skip the cache: they are test-only,
-        # correctness-checked, and must not pin anything.
+        # regressed knn at sf1 (r9: 2.2s -> 3.5s when the r8-advice fix
+        # naively dropped the cache; an unpersist-after-materialize
+        # variant ALSO regressed, because re-executions of the memoized
+        # pairs frame then rebuild b twice per action). So the
+        # canonical path caches b and REGISTERS it in _PRUNED_B_MEMO —
+        # the advice's clearable-memo option: bench/session hygiene
+        # (clear_memos) releases it between blocks, so nothing pins for
+        # the life of the session. Forced (non-canonical) calls skip
+        # the cache entirely: test-only, correctness-checked, no pin.
         if not audit_mode and canonical:
-            b = b_cached = b.cache()
+            b = b.cache()
+            _PRUNED_B_MEMO[memo_key] = b
         cand_users = (
             b.select(F.col("v").alias("user_id"))
             .union(a.select(F.col("u").alias("user_id")))
@@ -414,13 +421,6 @@ def _user_cosine_pairs(
         return out
     out = out.cache()
     _PAIRS_MEMO[memo_key] = out
-    if b_cached is not None:
-        # materialize the memo now so the b cache can release
-        # immediately instead of pinning until the caller's first
-        # action (the memo would have materialized then anyway — this
-        # only moves the work, it doesn't add any)
-        out.count()
-        b_cached.unpersist()
     return out
 
 
