@@ -239,14 +239,16 @@ def main() -> None:
         return best
 
     def _clear_session_memos() -> None:
-        """Between blocks: drop ml/recommend.py's session memos (cached
-        DataFrames keyed by (session, sf_dir)) — the next block uses a
+        """Between blocks: drop every registered session memo (cached
+        DataFrames keyed by (session, sf_dir) — ml/recommend's ratings,
+        cosine pairs and pruned-b frames, dedup/simhash's pair set) via
+        the central registry (plans/memos.py) — the next block uses a
         different sf_dir, so the previous block's memo entries are dead
         weight pinning executor memory for the rest of the process."""
         try:
-            from big_data_competition_dxc_spark.ml.recommend import clear_memos
+            from big_data_competition_dxc_spark.plans.memos import clear_all
 
-            clear_memos()
+            clear_all()
         except Exception:  # noqa: BLE001 - cleanup must never fail the bench
             pass
 

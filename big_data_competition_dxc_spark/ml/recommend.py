@@ -40,6 +40,7 @@ from ..functions.rounding import (
     to_units,
 )
 from ..plans.checkpointing import result_checkpoint
+from ..plans.memos import register_memo
 from ..plans.registry import query
 from ..sources import load
 
@@ -232,12 +233,12 @@ _COS_PAIRS_SQL = f"""
 # recomputes, a truncated-lineage checkpoint cannot) and live for the
 # session; a long-lived driver releases them with its normal
 # between-pipeline block cleanup (see bench.py's _release_leaked_state).
-_RATINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
-_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_RATINGS_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 # the pruned norm path's capped-contributor frame (canonical auto
 # derivation only — see _user_cosine_pairs): cached because the pairs
 # plan references it twice, tracked here so clear_memos releases it
-_PRUNED_B_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PRUNED_B_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
 
 def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -250,24 +251,22 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def _evict_other_sessions(key: tuple[str, str]) -> None:
     """Drop memo entries from any OTHER application: cached DataFrames
     pin their (possibly stopped) SparkSession, so the memos hold at
-    most the live session's frames. Eviction is a plain del — the dead
-    session's executors are gone, there is nothing to unpersist."""
-    for memo in (_RATINGS_MEMO, _PAIRS_MEMO, _PRUNED_B_MEMO):
-        for k in [k for k in memo if k[0] != key[0]]:
-            del memo[k]
+    most the live session's frames. Delegates to the central registry
+    (plans/memos.py) so every registered memo — including ones added
+    later — is swept; a hand-maintained tuple here once missed
+    _PRUNED_B_MEMO."""
+    from ..plans.memos import evict_other_sessions
+
+    evict_other_sessions(key)
 
 
 def clear_memos() -> None:
-    """Session-teardown / bench-cleanup hook: unpersist and forget every
-    memoized frame (best-effort — a stopped session raises on
-    unpersist, which is fine because its blocks died with it)."""
-    for memo in (_RATINGS_MEMO, _PAIRS_MEMO, _PRUNED_B_MEMO):
-        for df in memo.values():
-            try:
-                df.unpersist(False)
-            except Exception:  # noqa: BLE001 - teardown must not raise
-                pass
-        memo.clear()
+    """Session-teardown / bench-cleanup hook, kept for API stability:
+    clears EVERY registered memo via the central registry (not just
+    this module's — callers use it as 'release all cached state')."""
+    from ..plans.memos import clear_all
+
+    clear_all()
 
 
 def cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:

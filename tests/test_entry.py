@@ -208,3 +208,29 @@ def test_latest_green_queries_are_stamped():
         f"run scripts/update_contracts.py at round start — green r{rnd} "
         f"queries with a stale/missing sidecar entry: {lagging}"
     )
+
+
+def test_central_memo_registry_clears_everything(spark):
+    """Every session memo (ml/recommend's three + dedup/simhash's pair
+    set) must register with plans/memos.py so one clear_all() releases
+    them — an unregistered free-floating cache is the r8-advice leak
+    class. Builds each memo, then asserts clear_all empties them."""
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.dedup import simhash
+    from big_data_competition_dxc_spark.ml import recommend
+    from big_data_competition_dxc_spark.plans import memos
+
+    plans.QUERIES["simhash_neardup_pairs"].fn(spark, "/root/testdata/sf0.001").count()
+    recommend.cached_ratings(spark, "/root/testdata/sf0.001").count()
+    assert simhash._PAIRS_MEMO and recommend._RATINGS_MEMO
+    assert simhash._PAIRS_MEMO in memos._REGISTRY
+    assert recommend._RATINGS_MEMO in memos._REGISTRY
+    assert recommend._PAIRS_MEMO in memos._REGISTRY
+    assert recommend._PRUNED_B_MEMO in memos._REGISTRY
+    memos.clear_all()
+    assert not simhash._PAIRS_MEMO
+    assert not recommend._RATINGS_MEMO
+    # second build after clearing must work (no stale state)
+    plans.QUERIES["simhash_neardup_pairs"].fn(spark, "/root/testdata/sf0.001").count()
+    assert simhash._PAIRS_MEMO
+    memos.clear_all()
