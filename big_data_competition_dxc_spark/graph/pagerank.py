@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
+from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..sources import load
 
@@ -143,7 +144,10 @@ def pagerank_cosupply_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
 
-    return (
+    # materialize the (TOP_N-row) result eagerly so the edge cache can
+    # release before returning instead of pinning for the session — the
+    # same leak class the r8 advice flagged on multiprobe/evolution
+    out = result_checkpoint(
         ranks.orderBy(F.col("r").desc(), F.col("node"))
         .limit(TOP_N)
         .select(
@@ -152,3 +156,5 @@ def pagerank_cosupply_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_to(F.col("r") / F.lit(float(SCALE)), 6).alias("rank"),
         )
     )
+    edges.unpersist()
+    return out
