@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources import load
-from .jaccard import _JACCARD_ORACLE, jaccard_pairs_frame
+from .jaccard import _JACCARD_ORACLE, jaccard_pairs_cached
 
 MAX_ROUNDS = 25
 
@@ -139,7 +139,7 @@ HAVING COUNT(*) >= 2
 
 def _component_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    edges = jaccard_pairs_frame(docs).select(
+    edges = jaccard_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     nodes = docs.select(F.col("doc_id").alias("id"))

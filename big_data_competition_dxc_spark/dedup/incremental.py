@@ -49,8 +49,9 @@ from ..functions.rounding import round_to, sql_round
 from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..sources import load
-from .jaccard import JACCARD_THRESHOLD, shingle_rows
-from .minhash import _band_rows, _bands_sql, _signature, _signature_sql
+from .jaccard import JACCARD_THRESHOLD
+from .minhash import cached_bands, cached_shingles
+from .minhash import _bands_sql, _signature_sql
 
 DELTA_MOD = 10  # md5(doc_id) % DELTA_MOD == 0 -> the ~10% ingest delta
 FIXED_DELTA_DOCS = 100  # doc_id < FIXED_DELTA_DOCS -> scale-invariant delta
@@ -166,9 +167,8 @@ def _incremental_pipeline(
 ) -> DataFrame:
     """Shared delta-vs-corpus pipeline; ``is_delta`` is the slice
     predicate over ``doc_id`` (the only thing the variants change)."""
-    docs = load(spark, sf_dir, "documents")
-    sh = shingle_rows(docs).cache()  # feeds signature + both verify sides
-    bands = _band_rows(_signature(sh)).withColumn("is_delta", is_delta)
+    sh = cached_shingles(spark, sf_dir)  # memoized: shared family-wide
+    bands = cached_bands(spark, sf_dir).withColumn("is_delta", is_delta)
     d = bands.filter(F.col("is_delta")).alias("d")
     c = bands.filter(~F.col("is_delta")).alias("c")
     cand = (
@@ -180,14 +180,14 @@ def _incremental_pipeline(
         .select(F.col("d.doc_id").alias("doc_d"), F.col("c.doc_id").alias("doc_c"))
         .distinct()
     )
-    delta_ids = docs.select("doc_id").filter(is_delta)
+    delta_ids = (
+        load(spark, sf_dir, "documents").select("doc_id").filter(is_delta)
+    )
     out = verify_decisions(cand, sh, sh, delta_ids)
-    # same session hygiene as minhash_dedup_verified: materialize the
-    # small per-delta-doc decision frame while the shingle cache is hot,
-    # then release the cache
-    out = result_checkpoint(out)
-    sh.unpersist()
-    return out
+    # materialize the small per-delta-doc decision frame while the
+    # shingle memo is hot; the memo itself stays live for the family's
+    # other queries (between-block hygiene releases it)
+    return result_checkpoint(out)
 
 
 # --- index evolution: two consecutive ingests, the second probing an
@@ -291,8 +291,8 @@ def dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction cycle. Decision schema matches the other incremental
     variants."""
     docs = load(spark, sf_dir, "documents")
-    sh = shingle_rows(docs).cache()  # feeds signature + every verify side
-    bands = _band_rows(_signature(sh)).cache()  # probed by four slices
+    sh = cached_shingles(spark, sf_dir)  # memoized: shared family-wide
+    bands = cached_bands(spark, sf_dir)  # probed by four slices
     is_d1 = F.col("doc_id") < ADMIT_DELTA_DOCS
     is_d2 = (F.col("doc_id") >= ADMIT_DELTA_DOCS) & (
         F.col("doc_id") < PROBE_DELTA_DOCS
@@ -321,10 +321,9 @@ def dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     dec2 = verify_decisions(cand2, sh, sh, docs.select("doc_id").filter(is_d2))
-    out = result_checkpoint(dec2)
-    bands.unpersist()
-    sh.unpersist()
-    return out
+    # shingle/band memos stay live for the family (central hygiene
+    # releases them between blocks)
+    return result_checkpoint(dec2)
 
 
 @query(

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
+from ..plans.memos import evict_other_sessions, memo_key, register_memo
 from ..plans.registry import query
 from ..sources import load
 
@@ -111,13 +112,35 @@ def jaccard_pairs_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+# The exact-Jaccard pair graph is the shared canonical intermediate of
+# FOUR registered queries (the listing + the three neardup-components
+# clustering queries) — memoized like the simhash pair set: keyed
+# (applicationId, sf_dir), cached, centrally registered for
+# between-block hygiene (plans/memos.py), bypassed in plan-audit mode.
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
+def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus pair graph, cached once per (session, dir)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT"):
+        return jaccard_pairs_frame(load(spark, sf_dir, "documents"))
+    key = memo_key(spark, sf_dir)
+    hit = _PAIRS_MEMO.get(key)
+    if hit is None:
+        evict_other_sessions(key)
+        hit = jaccard_pairs_frame(load(spark, sf_dir, "documents")).cache()
+        _PAIRS_MEMO[key] = hit
+    return hit
+
+
 @query("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with 3-word-shingle Jaccard >= 0.5 (the fixture
     plants true near-dups up to J=0.99). Join-on-shingle keeps the
     candidate set sparse; the shuffle key is the shingle string."""
-    docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_frame(docs)
+    pairs = jaccard_pairs_cached(spark, sf_dir)
     return pairs.select(
         "doc_a", "doc_b", round_to(F.col("jaccard"), 4).alias("jaccard")
     )
