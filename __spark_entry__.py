@@ -8,11 +8,13 @@ registers a ``queries()`` entry there and, when SQL-expressible, a DuckDB
 
 from __future__ import annotations
 
+import ast
 import glob
 import hashlib
 import inspect
 import json
 import os
+import textwrap
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,28 +31,103 @@ plans.load_all()
 CONTRACTS_FILE = "CONTRACTS.json"
 
 
-def _fingerprint(entry: plans.QueryEntry) -> str:
-    """Computed contract fingerprint: hash of the oracle SQL plus the
-    query function's source. Any edit to either (schema aliases, new
-    audited columns, a rewritten implementation) changes the hash, so
-    a driver-green row recorded against the OLD fingerprint no longer
-    vouches for the query — ``_rotation_order`` ranks it stale-fail
-    until the driver re-proves it. Replaces the hand-maintained
-    ``contract_bump_round`` dict, whose failure mode (a rewrite nobody
-    remembered to bump — r7's stream_incremental_dedup) was exactly
-    that it relied on a human noticing the change.
+#: Root package whose helpers participate in the transitive fingerprint.
+_PACKAGE = "big_data_competition_dxc_spark"
 
-    Known granularity limit: only the REGISTERED function's source is
-    hashed, so an edit to a shared helper it calls does not flip its
-    callers (hashing whole modules would flip every query on any
-    comment edit — worse). Helper edits therefore need a manual
-    re-proof (scripts/driver_sim.py --only ...) in the editing round;
-    the full-sweep regression net catches anything missed."""
+#: Per-function memo of the transitive callee-source map (fn objects are
+#: import-stable, and _rotation_order fingerprints all ~245 entries on
+#: every queries()/oracle_sql() call).
+_CALLEE_CACHE: dict[int, dict[str, str]] = {}
+
+#: Module-level constant types included in the fingerprint by repr — a
+#: referenced scalar like ANN_LSH_BITS changes query behavior exactly
+#: like a helper edit does. Mutable containers (memo dicts, caches) are
+#: deliberately excluded: their contents vary per session.
+_CONST_TYPES = (int, float, str, bytes, bool, tuple, frozenset)
+
+
+def _collect_deps(fn: object, seen: set[str], out: dict[str, str]) -> None:
+    """AST-walk ``fn``'s source for referenced names, resolve them in
+    its module globals, and record the source of every same-package
+    function/class plus the repr of every referenced immutable constant
+    — recursively for functions, so an edit anywhere in a query's
+    same-package call graph flips its fingerprint (the r9 blind spot:
+    connected_components/jaccard_pairs_cached rewrites did not flip
+    their three registered callers)."""
+    try:
+        src = inspect.getsource(fn)
+        tree = ast.parse(textwrap.dedent(src))
+    except (OSError, TypeError, SyntaxError):
+        return
+    g = getattr(fn, "__globals__", {})
+    resolved: list[tuple[str, object]] = []
+    attrs: set[tuple[str, str]] = set()
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+            attrs.add((node.value.id, node.attr))
+    for n in sorted(names):
+        if n in g:
+            resolved.append((n, g[n]))
+    for base, attr in sorted(attrs):
+        mod = g.get(base)
+        if inspect.ismodule(mod) and getattr(mod, "__name__", "").startswith(
+            _PACKAGE
+        ):
+            obj = getattr(mod, attr, None)
+            if obj is not None:
+                resolved.append((f"{base}.{attr}", obj))
+    for label, obj in resolved:
+        in_pkg = getattr(obj, "__module__", "") or ""
+        if inspect.isfunction(obj) and in_pkg.startswith(_PACKAGE):
+            key = f"{obj.__module__}.{getattr(obj, '__qualname__', label)}"
+            if key in seen:
+                continue
+            seen.add(key)
+            try:
+                out[key] = inspect.getsource(obj)
+            except (OSError, TypeError):
+                out[key] = repr(obj)
+            _collect_deps(obj, seen, out)
+        elif inspect.isclass(obj) and in_pkg.startswith(_PACKAGE):
+            key = f"{obj.__module__}.{getattr(obj, '__qualname__', label)}"
+            if key not in seen:
+                seen.add(key)
+                try:
+                    out[key] = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    out[key] = repr(obj)
+        elif type(obj) in _CONST_TYPES:
+            out.setdefault(f"const:{label}", repr(obj))
+
+
+def _fingerprint(entry: plans.QueryEntry) -> str:
+    """Computed contract fingerprint: hash of the oracle SQL, the query
+    function's source, and (since r10) the transitive source of every
+    same-package function/class it references plus the repr of every
+    referenced module-level immutable constant. Any edit to any of
+    those changes the hash, so a driver-green row recorded against the
+    OLD fingerprint no longer vouches for the query —
+    ``_rotation_order`` ranks it stale-fail until the driver re-proves
+    it. Replaces the hand-maintained ``contract_bump_round`` dict,
+    whose failure mode (a rewrite nobody remembered to bump — r7's
+    stream_incremental_dedup) was that it relied on a human noticing;
+    the r9 registered-source-only variant's failure mode (helper edits
+    invisible — the neardup_components family) was the same thing one
+    level down."""
     try:
         src = inspect.getsource(entry.fn)
     except (OSError, TypeError):  # builtins / REPL-defined: fall back
         src = repr(entry.fn)
-    payload = (entry.oracle or "<rows-only>") + "\x00" + src
+    deps = _CALLEE_CACHE.get(id(entry.fn))
+    if deps is None:
+        deps = {}
+        _collect_deps(entry.fn, set(), deps)
+        _CALLEE_CACHE[id(entry.fn)] = deps
+    dep_blob = "\x00".join(f"{k}\x01{deps[k]}" for k in sorted(deps))
+    payload = (entry.oracle or "<rows-only>") + "\x00" + src + "\x00" + dep_blob
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

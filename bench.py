@@ -119,24 +119,37 @@ def main() -> None:
     def run_block(
         block_dir: str,
         queryset: dict | None = None,
-    ) -> tuple[dict[str, float], dict[str, int], float]:
+    ) -> tuple[dict[str, float], dict[str, int], dict[str, bool], float]:
+        from big_data_competition_dxc_spark.plans.memos import consume_warm_hits
+
         block: dict[str, float] = {}
         rows: dict[str, int] = {}
+        warm: dict[str, bool] = {}
         t_all = time.perf_counter()
         for name, entry in sorted((queryset or headline).items()):
+            consume_warm_hits()  # reset: attribute hits to THIS query
             t0 = time.perf_counter()
             try:
                 df = entry.fn(spark, block_dir)
                 n = df.count()
                 block[name] = round(time.perf_counter() - t0, 3)
                 rows[name] = n
-                print(f"# {name}: {block[name]}s rows={n}", file=sys.stderr)
+                # measured time rode a pre-derived session memo (r9
+                # verdict item on attribution: a memo-warm 0.23s is
+                # consumer cost, not standalone query cost)
+                warm[name] = consume_warm_hits() > 0
+                print(
+                    f"# {name}: {block[name]}s rows={n}"
+                    + (" memo-warm" if warm[name] else ""),
+                    file=sys.stderr,
+                )
             except Exception as exc:  # noqa: BLE001 - bench must always emit JSON
                 block[name] = -1.0
                 rows[name] = -1
+                warm[name] = False
                 print(f"# {name}: FAILED {exc}", file=sys.stderr)
             _release_leaked_state()
-        return block, rows, round(time.perf_counter() - t_all, 3)
+        return block, rows, warm, round(time.perf_counter() - t_all, 3)
 
     # Noise gate (RUN PROTOCOL made executable): a run with hypervisor
     # steal in the thousands or a slow compute probe is measuring the
@@ -195,17 +208,19 @@ def main() -> None:
         best: dict = {}
         attempts = []
         all_timings: list[dict] = []
+        all_warm: list[dict] = []
         _warm_tables(block_dir)
         required = max(1, min_attempts)
         while len(attempts) < required:
             probe_a = _cpu_probe()
             steal0 = _steal_jiffies()
-            timings_a, rows_a, total_a = run_block(block_dir, queryset)
+            timings_a, rows_a, warm_a, total_a = run_block(block_dir, queryset)
             steal_a = _steal_jiffies() - steal0
             attempts.append(
                 {"value": total_a, "steal_jiffies": steal_a, "cpu_probe_sec": probe_a}
             )
             all_timings.append(timings_a)
+            all_warm.append(warm_a)
             clean = 0 <= steal_a < STEAL_GATE and probe_a < PROBE_GATE
             if (
                 not best
@@ -229,13 +244,20 @@ def main() -> None:
                 )
         best["attempts"] = attempts
         qmin: dict[str, float] = {}
-        for t in all_timings:
+        qwarm: dict[str, bool] = {}
+        for t, w in zip(all_timings, all_warm):
             for n, v in t.items():
                 if v > 0 and (n not in qmin or v < qmin[n]):
                     qmin[n] = v
+                    qwarm[n] = w.get(n, False)
         best["queries_min"] = {
             n: qmin.get(n, best["timings"][n]) for n in best["timings"]
         }
+        # queries whose PUBLISHED min came from a memo-warm execution —
+        # their q_min is consumer-path cost on a pre-derived session
+        # memo, not a standalone derivation (self-attributing headline
+        # deltas, r9 verdict item 4)
+        best["memo_warm"] = sorted(n for n in best["timings"] if qwarm.get(n))
         return best
 
     def _clear_session_memos() -> None:
@@ -452,6 +474,7 @@ def main() -> None:
                 # per-query min across the block's attempts — the number
                 # ratios are computed from (see gated_block docstring)
                 "queries_min_of_attempts": sc_min,
+                "memo_warm": sc["memo_warm"],
                 "ratio_vs_main": {
                     n: (
                         round(sc_min[n] / main_min[n], 1)
@@ -556,6 +579,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min_of_attempts": main_run["queries_min"],
+        "memo_warm": main_run["memo_warm"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # contention diagnostics (see RUN PROTOCOL in docstring):
         # hypervisor steal during the main block + a fixed pure-Python
@@ -629,6 +653,9 @@ def main() -> None:
         # q_min, or here via n_queries.
         "n_queries": len(timings),
         "trailing_flags": sorted(out["trailing_flags"]),
+        # queries whose published min rode a warm session memo — their
+        # q_min is consumer cost, not standalone derivation cost
+        "memo": main_run["memo_warm"],
         "q_min": _r2(main_run["queries_min"]),
     }
     if scale_check is not None:
@@ -639,6 +666,7 @@ def main() -> None:
             "accepted": scale_check["noise_gate"]["accepted"],
             "att": _att(scale_check["noise_gate"]["attempts"]),
             "trailing_flags": sorted(scale_check["trailing_flags"]),
+            "memo": scale_check["memo_warm"],
             "q_min": _r2(scale_check["queries_min_of_attempts"]),
         }
     if spotlight is not None and "ratio_vs_main" in spotlight:
@@ -663,18 +691,44 @@ def main() -> None:
             ],
         }
     TAIL_BUDGET = 1900
-    for drop in (
+    # Drop order, least valuable first (rebuilt per the r9 verdict —
+    # the r9 artifact shed the accepted scale block's per-query mins
+    # while keeping spotlight attempt history):
+    #   1. attempt histories of ACCEPTED blocks (the gate passed; the
+    #      triples are redundant with value/steal/probe);
+    #   2. spotlight per-query mins, then main q_min, then spot ratios
+    #      — scale.q_min outlives them all: the 10x per-query evidence
+    #      is the artifact's scarcest content;
+    #   3. last resort, guaranteeing the line ALWAYS fits (r9 advice:
+    #      the old list could be exhausted with the line still over
+    #      budget): remaining attempt histories — even the exculpatory
+    #      ones for accepted:false blocks — then scale.q_min itself.
+    # spot names and memo keys are never dropped (the history-driven
+    # rotation and the memo attribution read them back from wrappers).
+    drops: list[tuple] = []
+    if spotlight is not None and all(compact.get("spot", {}).get("accepted", [])):
+        drops.append(("spot", "att"))
+    if accepted:
+        drops.append(("att",))
+    if scale_check is not None and compact["scale"]["accepted"]:
+        drops.append(("scale", "att"))
+    drops += [
         ("spot", "q_min_scale"),
         ("spot", "q_min"),
-        ("scale", "q_min"),
         ("q_min",),
         ("spot", "ratio"),
-        # attempt histories go last — they are the exculpatory evidence
-        # for accepted:false blocks; spot names are never dropped (the
-        # history-driven rotation reads them back from the wrapper)
         ("spot", "att"),
+        ("att",),
         ("scale", "att"),
-    ):
+        ("scale", "q_min"),
+        # doomsday tail so the budget can never be exceeded with drops
+        # left unexhausted (r9 advice)
+        ("trailing_flags",),
+        ("scale", "trailing_flags"),
+        ("memo",),
+        ("scale", "memo"),
+    ]
+    for drop in drops:
         s = json.dumps(compact, separators=(",", ":"))
         if len(s) <= TAIL_BUDGET:
             break

@@ -83,13 +83,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        labels.unpersist()
         labels = new_labels
         # labels only ever decrease, so the sum strictly decreases until
         # the fixpoint — one scalar action per round, no row-level diff.
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
-            sym.unpersist()
+            # No explicit release of sym / per-round label blocks:
+            # Dataset.unpersist on a localCheckpointed frame is a no-op
+            # (the CacheManager has no entry for a LogicalRDD — r9
+            # advice), and df.rdd wraps a NEW deserializing RDD, not
+            # the checkpointed one. Rounds are bounded (<= MAX_ROUNDS
+            # O(V)-sized blocks); the ContextCleaner frees them on GC
+            # and bench releases all persistent RDDs between queries.
             return nodes.join(labels, "id", "left").select(
                 "id", F.coalesce("label", "id").alias("label")
             )

@@ -13,7 +13,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
-from ..plans.memos import evict_other_sessions, memo_key, register_memo
+from ..plans.memos import (
+    evict_other_sessions,
+    memo_key,
+    note_warm_hit,
+    register_memo,
+)
 from ..plans.registry import query
 from ..sources import load
 
@@ -132,6 +137,8 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         evict_other_sessions(key)
         hit = jaccard_pairs_frame(load(spark, sf_dir, "documents")).cache()
         _PAIRS_MEMO[key] = hit
+    else:
+        note_warm_hit()
     return hit
 
 

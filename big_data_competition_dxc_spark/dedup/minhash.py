@@ -26,7 +26,12 @@ from ..functions.rounding import round_to, sql_round
 from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..sources import load
-from ..plans.memos import evict_other_sessions, memo_key, register_memo
+from ..plans.memos import (
+    evict_other_sessions,
+    memo_key,
+    note_warm_hit,
+    register_memo,
+)
 from .jaccard import JACCARD_THRESHOLD, SQL_SHINGLES, shingle_rows
 
 NUM_HASHES = 16
@@ -172,6 +177,8 @@ def cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         evict_other_sessions(key)
         hit = shingle_rows(load(spark, sf_dir, "documents")).cache()
         _SHINGLES_MEMO[key] = hit
+    else:
+        note_warm_hit()
     return hit
 
 
@@ -186,6 +193,8 @@ def cached_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         evict_other_sessions(key)
         hit = _band_rows(_signature(cached_shingles(spark, sf_dir))).cache()
         _BANDS_MEMO[key] = hit
+    else:
+        note_warm_hit()
     return hit
 
 

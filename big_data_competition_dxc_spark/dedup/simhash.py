@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.memos import evict_other_sessions, memo_key, register_memo
+from ..plans.memos import (
+    evict_other_sessions,
+    memo_key,
+    note_warm_hit,
+    register_memo,
+)
 from ..plans.registry import query
 from ..sources import load
 
@@ -137,6 +142,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not audit_mode:
         hit = _PAIRS_MEMO.get(key)
         if hit is not None:
+            note_warm_hit()
             return hit
         evict_other_sessions(key)
     fp = _fingerprints(spark, sf_dir).select(

@@ -21,6 +21,8 @@ shuffle beyond each GBDT's own treeAggregate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.functions import array_to_vector
@@ -72,8 +74,18 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()  # materialize before unpersist
     emb.unpersist()
+    # audited determinism scalar (r10): SSE in integer cents plus the
+    # occupancy histogram folded in (cluster ids are permutation-free
+    # under a fixed seed, but the audit is id-order-independent anyway:
+    # it sums per-cluster contributions). Any seed/init/convergence
+    # regression changes it.
+    # floor(x*100+0.5): the same half-up form as the sse_total column,
+    # so audit == round(sse_total*100) + sum(n_vecs) exactly
+    audit = int(math.floor(cost * 100 + 0.5)) + sum(int(r["n_vecs"]) for r in rows)
     return spark.createDataFrame(
-        rows, "cluster_id int, n_vecs bigint, avg_label double, sse_total double"
+        [(*r, audit) for r in rows],
+        "cluster_id int, n_vecs bigint, avg_label double, sse_total double, "
+        "audit_sse_cents bigint",
     )
 
 

@@ -30,7 +30,9 @@ from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_to
+from functools import reduce
+
+from ..functions.rounding import round_to, to_units
 from ..plans.registry import query
 from ..sources import load
 
@@ -57,7 +59,7 @@ def ml_features_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = scaler.fit(assembled)
     out = model.transform(assembled)
     arr = vector_to_array(F.col("scaled"))
-    return out.select(
+    result = out.select(
         "l_orderkey",
         "l_linenumber",
         *[
@@ -65,6 +67,24 @@ def ml_features_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, c in enumerate(FEATURE_COLS)
         ],
     )
+    return _attach_abs_units_audit(
+        result, [f"scaled_{c.removeprefix('l_')}" for c in FEATURE_COLS]
+    )
+
+
+def _attach_abs_units_audit(result: DataFrame, cols: list[str]) -> DataFrame:
+    """Audited determinism scalar for the distributed-output ML queries
+    (r10, the ML8/ML10/ML12 treatment): |value| summed in exact
+    4-decimal integer units across every row and feature column —
+    order-independent (DECIMAL accumulation, abs also absorbs PCA sign
+    convention) — attached to every row via a broadcast 1-row cross
+    join. The driver's rows-only check previously pinned only the row
+    count; tests/test_ml.py pins this scalar identical across runs."""
+    units = reduce(
+        lambda a, b: a + b, [to_units(F.abs(F.col(c)), 4) for c in cols]
+    )
+    audit = result.agg(F.sum(units).cast("bigint").alias("audit_abs_units"))
+    return result.crossJoin(F.broadcast(audit))
 
 
 @query("ml_pca_embeddings", tags=("ML3",))
@@ -82,8 +102,9 @@ def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pca = PCA(k=8, inputCol="features", outputCol="pca")
     model = pca.fit(emb)
     arr = vector_to_array(F.col("pca"))
-    return model.transform(emb).select(
+    result = model.transform(emb).select(
         "vec_id",
         "label",
         *[round_to(arr[i], 4).alias(f"pc{i}") for i in range(8)],
     )
+    return _attach_abs_units_audit(result, [f"pc{i}" for i in range(8)])

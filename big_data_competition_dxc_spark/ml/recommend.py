@@ -40,7 +40,7 @@ from ..functions.rounding import (
     to_units,
 )
 from ..plans.checkpointing import result_checkpoint
-from ..plans.memos import register_memo
+from ..plans.memos import note_warm_hit, register_memo
 from ..plans.registry import query
 from ..sources import load
 
@@ -283,6 +283,8 @@ def cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _evict_other_sessions(key)
         hit = ratings(spark, sf_dir).cache()
         _RATINGS_MEMO[key] = hit
+    else:
+        note_warm_hit()
     return hit
 
 
@@ -338,6 +340,7 @@ def _user_cosine_pairs(
     if not audit_mode and canonical:
         hit = _PAIRS_MEMO.get(memo_key)
         if hit is not None:
+            note_warm_hit()
             return hit
         _evict_other_sessions(memo_key)
     r = cached_ratings(spark, sf_dir)

@@ -148,10 +148,16 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(float(model.intercept), 4),
             )
         )
+    # audited determinism scalar (r10, the ML8/ML10/ML12 treatment):
+    # the battery's test MSEs summed in 4-decimal integer units. LR is
+    # closed-form deterministic; any split/feature/solver regression
+    # changes it. tests/test_ml.py pins it identical across two runs.
+    audit = sum(int(round(r[4] * 10_000)) for r in rows)
     return spark.createDataFrame(
-        rows,
+        [(*r, audit) for r in rows],
         "target string, n_train bigint, n_test bigint, mse_train double, "
-        "mse_test double, mse_naive double, intercept double",
+        "mse_test double, mse_naive double, intercept double, "
+        "audit_mse_units bigint",
     )
 
 
@@ -182,10 +188,14 @@ def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(
                 (target, feat, round(float(imp), 4), mse_train, mse_test, mse_naive)
             )
+    # audited determinism scalar (r10): every feature importance across
+    # the 5-model battery summed in 4-decimal units — a seed/bagging/
+    # split regression reshuffles the importances and changes it.
+    audit = sum(int(round(r[2] * 10_000)) for r in rows)
     return spark.createDataFrame(
-        rows,
+        [(*r, audit) for r in rows],
         "target string, feature string, importance double, mse_train double, "
-        "mse_test double, mse_naive double",
+        "mse_test double, mse_naive double, audit_importance_units bigint",
     )
 
 
@@ -256,4 +266,13 @@ def ml_gbt_horizon_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to(F.avg(F.pow(F.col("label_next") - F.col("blend"), 2)), 4).alias("mse_blend"),
         F.count("*").alias("n_test"),
     )
-    return mse
+    # audited determinism scalar (r10): the three horizon MSEs summed
+    # in 4-decimal units — one row, so the collect is free, and any
+    # boosting/indexing/blend regression changes it.
+    [r] = mse.collect()
+    audit = int(round((r["mse_h1"] + r["mse_h2"] + r["mse_blend"]) * 10_000))
+    return spark.createDataFrame(
+        [(r["mse_h1"], r["mse_h2"], r["mse_blend"], r["n_test"], audit)],
+        "mse_h1 double, mse_h2 double, mse_blend double, n_test bigint, "
+        "audit_mse_units bigint",
+    )

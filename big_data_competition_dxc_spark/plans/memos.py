@@ -26,11 +26,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 _REGISTRY: list[dict] = []
 
+#: Count of memo lookups served warm since the last ``consume_warm_hits``
+#: — bench.py brackets each timed attempt with it so the compact artifact
+#: can flag queries whose measured time rode a pre-derived memo instead
+#: of paying the derivation (the r9 verdict's attribution gap: a 0.23s
+#: memo-warm reading must not be read as standalone query cost).
+_WARM_HITS = 0
+
 
 def register_memo(memo: dict) -> dict:
     """Track a memo dict for session-hygiene clearing; returns it."""
     _REGISTRY.append(memo)
     return memo
+
+
+def note_warm_hit() -> None:
+    """Called by every memo consumer when a lookup returns a cached
+    frame (never on the populate path)."""
+    global _WARM_HITS
+    _WARM_HITS += 1
+
+
+def consume_warm_hits() -> int:
+    """Return the warm-hit count since the previous call and reset it."""
+    global _WARM_HITS
+    n = _WARM_HITS
+    _WARM_HITS = 0
+    return n
 
 
 def memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -170,44 +170,171 @@ def test_contracts_sidecar_matches_current_tree():
             assert pos[name] < 50, name
 
 
-def test_latest_green_queries_are_stamped():
-    """The round-start stamping invariant (r8 verdict item 3): every
-    query with a green row in the LATEST CORRECTNESS file that still
-    exists in the registry must have a sidecar entry whose proven_round
-    is at least that file's round. Fingerprint equality is NOT asserted
-    here — mid-round edits legitimately flip fingerprints; proven_round
-    is the part that must never lag once update_contracts.py has run."""
+def test_helper_edit_flips_caller_fingerprint(tmp_path):
+    """r9 verdict item 2: _fingerprint must hash the TRANSITIVE source
+    of same-package callees (and referenced module constants), so an
+    edit to a shared helper like connected_components flips its
+    registered callers into the rotation window. Loads the same module
+    three times from one path (identical caller source each time) with
+    a helper-body edit and a constant edit, and asserts both flip the
+    fingerprint while an identical reload does not."""
+    import importlib.util
+    import linecache
+    import types
+
+    base = (
+        "CONST = 3\n"
+        "def _helper(x):\n"
+        "    return x + 1\n"
+        "def caller(spark, sf_dir):\n"
+        "    return _helper(CONST)\n"
+    )
+    variants = [
+        base,
+        base,  # identical reload — fingerprint must be stable
+        base.replace("x + 1", "x + 2"),  # helper body edit
+        base.replace("CONST = 3", "CONST = 4"),  # constant edit
+    ]
+    mod = importlib.import_module("__spark_entry__")
+    path = tmp_path / "fp_probe.py"
+    keep_alive, fps = [], []
+    for src in variants:
+        path.write_text(src)
+        linecache.clearcache()
+        spec = importlib.util.spec_from_file_location(
+            "big_data_competition_dxc_spark._fp_probe", path
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        keep_alive.append(m)  # prevent id() reuse in _CALLEE_CACHE
+        fps.append(
+            mod._fingerprint(types.SimpleNamespace(fn=m.caller, oracle=None))
+        )
+    assert fps[0] == fps[1], "identical source must fingerprint identically"
+    assert fps[0] != fps[2], "helper body edit must flip the caller"
+    assert fps[0] != fps[3], "referenced constant edit must flip the caller"
+
+
+def _stamping_violations(history, contracts, registry):
+    """Pure core of the round-start stamping invariant (r8 verdict item
+    3, phase-sensitivity fixed per the r9 verdict): every green row in
+    a CORRECTNESS file must be stamped — EXCEPT that the newest file
+    gets a one-round grace when it is strictly newer than the sidecar's
+    stamp, because the driver drops CORRECTNESS_rN AFTER the builder's
+    last commit of round N and the stamp is round N+1's first action.
+    A gap of more than one round is never excused, and during the grace
+    the PREVIOUS file is enforced instead (no older round may lag).
+
+    history: list of (round_no, records_dict); contracts: the sidecar
+    dict; registry: set of live query names. Returns violation strings.
+    """
+    mod = importlib.import_module("__spark_entry__")
+
+    if not history:
+        return []
+    history = sorted(history)
+    stamped = max(
+        (
+            e.get("proven_round", -1)
+            for e in contracts.values()
+            if isinstance(e, dict)
+        ),
+        default=-1,
+    )
+    newest = history[-1][0]
+    if newest > stamped + 1:
+        return [
+            f"rounds r{stamped + 1}..r{newest} unstamped — more than the "
+            "one-round post-driver-drop grace; run scripts/update_contracts.py"
+        ]
+    if newest > stamped:
+        # post-driver-drop window: the newest file landed after the last
+        # stamp (by construction, after the builder's final commit).
+        # Enforce the previous file instead.
+        history = history[:-1]
+        if not history:
+            return []
+    rnd, records = history[-1]
+    return [
+        name
+        for name, rec in records.items()
+        if mod._record_succeeded(rec)
+        and name in registry
+        and contracts.get(name, {}).get("proven_round", -1) < rnd
+    ]
+
+
+def _load_stamping_state():
     import glob
     import os
 
     mod = importlib.import_module("__spark_entry__")
+    here = os.path.dirname(mod.__file__)
+    history = []
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        with open(path) as f:
+            history.append((rnd, json.load(f)))
+    sidecar = os.path.join(here, mod.CONTRACTS_FILE)
+    contracts = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            contracts = json.load(f)
+    return history, contracts
+
+
+def test_latest_green_queries_are_stamped():
+    """The stamping invariant against the REAL tree. Green both right
+    after the round-start stamp AND in the window after the driver
+    drops a new CORRECTNESS file (one-round grace) — the r9 verdict's
+    top item was that the old form failed at every judge checkpoint by
+    construction."""
     from big_data_competition_dxc_spark import plans
 
-    here = os.path.dirname(mod.__file__)
-    history = sorted(
-        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-        key=lambda p: int("".join(ch for ch in os.path.basename(p) if ch.isdigit())),
-    )
-    sidecar = os.path.join(here, mod.CONTRACTS_FILE)
-    if not history or not os.path.exists(sidecar):
+    history, contracts = _load_stamping_state()
+    if not history or not contracts:
         return  # pre-bootstrap tree
-    latest = history[-1]
-    rnd = int("".join(ch for ch in os.path.basename(latest) if ch.isdigit()))
-    with open(latest) as f:
-        records = json.load(f)
-    with open(sidecar) as f:
-        contracts = json.load(f)
-    lagging = [
-        name
-        for name, rec in records.items()
-        if mod._record_succeeded(rec)
-        and name in plans.QUERIES
-        and contracts.get(name, {}).get("proven_round", -1) < rnd
-    ]
+    lagging = _stamping_violations(history, contracts, set(plans.QUERIES))
     assert not lagging, (
-        f"run scripts/update_contracts.py at round start — green r{rnd} "
-        f"queries with a stale/missing sidecar entry: {lagging}"
+        "run scripts/update_contracts.py at round start — stale/missing "
+        f"sidecar entries: {lagging}"
     )
+
+
+def test_stamping_invariant_post_driver_drop_simulation():
+    """Simulates the judge-checkpoint state: a CORRECTNESS file one
+    round newer than the sidecar's stamp must be excused (grace), an
+    unstamped OLDER green row must still fail, and a two-round gap must
+    fail."""
+    from big_data_competition_dxc_spark import plans
+
+    history, contracts = _load_stamping_state()
+    if not history or not contracts:
+        return  # pre-bootstrap tree
+    registry = set(plans.QUERIES)
+    stamped = max(e["proven_round"] for e in contracts.values())
+    some_query = next(iter(registry))
+    green = {"spark_rows": 1, "err": None}
+
+    # 1. post-driver-drop: newest file is stamp+1 → grace, no violations
+    simulated = history + [(stamped + 1, {some_query: green})]
+    assert _stamping_violations(simulated, contracts, registry) == []
+
+    # 2. ...but an unstamped green row in an OLDER file still fails
+    broken = dict(contracts)
+    victim = next(
+        n
+        for n, rec in history[-1][1].items()
+        if importlib.import_module("__spark_entry__")._record_succeeded(rec)
+        and n in registry
+    )
+    broken[victim] = {"fingerprint": "x", "proven_round": -1}
+    assert victim in _stamping_violations(simulated, broken, registry)
+
+    # 3. a two-round gap is never excused
+    gapped = history + [(stamped + 2, {some_query: green})]
+    out = _stamping_violations(gapped, contracts, registry)
+    assert out and "grace" in out[0]
 
 
 def test_central_memo_registry_clears_everything(spark):

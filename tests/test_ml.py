@@ -19,11 +19,14 @@ def _run(name, spark):
 
 def test_features_scaled(spark):
     df = _run("ml_features_scaled", spark)
-    # scalar-only contract (driver canonicalizer rejects array cells)
-    assert all(f.dataType.typeName() == "double" for f in df.schema.fields[2:])
+    # scalar-only contract (driver canonicalizer rejects array cells):
+    # doubles plus the bigint audit column
+    assert all(
+        f.dataType.typeName() in ("double", "long") for f in df.schema.fields[2:]
+    )
     rows = df.collect()
     assert len(rows) > 0
-    scaled_cols = df.columns[2:]
+    scaled_cols = [c for c in df.columns[2:] if c.startswith("scaled_")]
     assert len(scaled_cols) == 4
     for r in rows[:20]:
         assert all(r[c] is not None for c in scaled_cols)
@@ -33,6 +36,14 @@ def test_features_scaled(spark):
     for c in scaled_cols:
         mean = sum(r[c] for r in rows) / len(rows)
         assert math.isfinite(mean) and abs(mean) < 0.01
+    # audited determinism scalar (r10): |z| in 4-decimal units over all
+    # rows/columns — constant across rows, nonzero, identical on rerun
+    audits = {r["audit_abs_units"] for r in rows}
+    assert len(audits) == 1 and audits.pop() > 0
+    rerun = _run("ml_features_scaled", spark).collect()
+    assert {r["audit_abs_units"] for r in rerun} == {
+        rows[0]["audit_abs_units"]
+    }
 
 
 def test_pca_embeddings(spark):
@@ -47,6 +58,14 @@ def test_pca_embeddings(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r[c] is not None for r in rows[:20] for c in pc_cols)
+    # audited determinism scalar (r10): |pc| units are sign-convention
+    # free (abs), constant across rows, identical on rerun
+    audits = {r["audit_abs_units"] for r in rows}
+    assert len(audits) == 1 and audits.pop() > 0
+    rerun = _run("ml_pca_embeddings", spark).collect()
+    assert {r["audit_abs_units"] for r in rerun} == {
+        rows[0]["audit_abs_units"]
+    }
 
 
 def test_linear_regression_battery(spark):
@@ -59,6 +78,14 @@ def test_linear_regression_battery(spark):
         # baseline, for EVERY target in the battery.
         assert math.isfinite(r["mse_train"]) and math.isfinite(r["mse_test"])
         assert r["mse_train"] < r["mse_naive"], r
+    # audited determinism scalar (r10): test MSEs in 4-decimal units,
+    # consistent with the per-row values, identical on rerun
+    audits = {r["audit_mse_units"] for r in rows.values()}
+    assert audits == {
+        sum(int(round(r["mse_test"] * 10_000)) for r in rows.values())
+    }
+    rerun = _run("ml_linear_regression", spark).collect()
+    assert {r["audit_mse_units"] for r in rerun} == audits
 
 
 def test_random_forest_battery(spark):
@@ -77,6 +104,12 @@ def test_random_forest_battery(spark):
         [mse_naive] = {r["mse_naive"] for r in trows}
         assert math.isfinite(mse_train) and mse_train < mse_naive, target
         assert all(math.isfinite(r["mse_test"]) for r in trows)
+    # audited determinism scalar (r10): importances in 4-decimal units,
+    # consistent with the per-row values, identical on rerun (seeded RF)
+    audits = {r["audit_importance_units"] for r in rows}
+    assert audits == {sum(int(round(r["importance"] * 10_000)) for r in rows)}
+    rerun = _run("ml_random_forest", spark).collect()
+    assert {r["audit_importance_units"] for r in rerun} == audits
 
 
 def test_gbt_horizon_blend(spark):
@@ -84,6 +117,12 @@ def test_gbt_horizon_blend(spark):
     assert r["n_test"] > 0
     for c in ("mse_h1", "mse_h2", "mse_blend"):
         assert math.isfinite(r[c]) and r[c] >= 0
+    # audited determinism scalar (r10): the three horizon MSEs in
+    # 4-decimal units, consistent and identical on rerun (seeded GBT)
+    want = int(round((r["mse_h1"] + r["mse_h2"] + r["mse_blend"]) * 10_000))
+    assert r["audit_mse_units"] == want
+    [r2] = _run("ml_gbt_horizon_blend", spark).collect()
+    assert r2["audit_mse_units"] == r["audit_mse_units"]
 
 
 def test_kmeans_embeddings(spark):
@@ -91,6 +130,13 @@ def test_kmeans_embeddings(spark):
     assert 1 <= len(rows) <= 4
     assert sum(r["n_vecs"] for r in rows) > 0
     assert all(r["sse_total"] > 0 for r in rows)
+    # audited determinism scalar (r10): SSE cents + occupancy, constant
+    # across rows, consistent with the per-row values, stable on rerun
+    audits = {r["audit_sse_cents"] for r in rows}
+    want = int(round(rows[0]["sse_total"] * 100)) + sum(r["n_vecs"] for r in rows)
+    assert audits == {want}
+    rerun = _run("ml_kmeans_embeddings", spark).collect()
+    assert {r["audit_sse_cents"] for r in rerun} == audits
 
 
 def test_cluster_ensemble(spark):
