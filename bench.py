@@ -59,6 +59,72 @@ import sys
 import time
 
 
+#: Driver output-capture budget for the final compact line (the driver
+#: records only the last ~2000 chars and parses the JSON found there).
+TAIL_BUDGET = 1900
+
+
+def build_drop_order(
+    accepted: bool, scale_accepted: bool | None, spot_accepted: bool | None
+) -> list[tuple]:
+    """Compact-line field drops, least valuable first (r10 rebuild per
+    the r9 verdict — the r9 artifact shed the accepted scale block's
+    per-query mins while keeping spotlight attempt history):
+
+    1. attempt histories of ACCEPTED blocks (the gate passed; the
+       triples are redundant with value/steal/probe);
+    2. spotlight per-query mins, then main q_min, then spot ratios —
+       scale.q_min outlives them all: the 10x per-query evidence is
+       the artifact's scarcest content;
+    3. a doomsday tail guaranteeing the line ALWAYS fits (r9 advice:
+       the old list could be exhausted with the line still over
+       budget): remaining attempt histories — even the exculpatory
+       ones for accepted:false blocks — then scale.q_min itself, then
+       trailing flags and memo keys.
+
+    spot ``names`` are never dropped (the history-driven rotation
+    reads them back from canonical wrappers)."""
+    drops: list[tuple] = []
+    if spot_accepted:
+        drops.append(("spot", "att"))
+    if accepted:
+        drops.append(("att",))
+    if scale_accepted:
+        drops.append(("scale", "att"))
+    drops += [
+        ("spot", "q_min_scale"),
+        ("spot", "q_min"),
+        ("q_min",),
+        ("spot", "ratio"),
+        ("spot", "att"),
+        ("att",),
+        ("scale", "att"),
+        ("scale", "q_min"),
+        ("trailing_flags",),
+        ("scale", "trailing_flags"),
+        ("memo",),
+        ("scale", "memo"),
+    ]
+    return drops
+
+
+def shrink_to_budget(
+    compact: dict, drops: list[tuple], budget: int = TAIL_BUDGET
+) -> str:
+    """Serialize ``compact``, dropping fields in ``drops`` order until
+    the line fits ``budget``. Mutates ``compact``; returns the line."""
+    s = json.dumps(compact, separators=(",", ":"))
+    for drop in drops:
+        if len(s) <= budget:
+            break
+        node = compact
+        for k in drop[:-1]:
+            node = node.get(k, {})
+        node.pop(drop[-1], None)
+        s = json.dumps(compact, separators=(",", ":"))
+    return s
+
+
 def _steal_jiffies() -> int:
     try:
         with open("/proc/stat") as f:
@@ -690,53 +756,14 @@ def main() -> None:
                 _att(spotlight["sf_scale"]["attempts"]),
             ],
         }
-    TAIL_BUDGET = 1900
-    # Drop order, least valuable first (rebuilt per the r9 verdict —
-    # the r9 artifact shed the accepted scale block's per-query mins
-    # while keeping spotlight attempt history):
-    #   1. attempt histories of ACCEPTED blocks (the gate passed; the
-    #      triples are redundant with value/steal/probe);
-    #   2. spotlight per-query mins, then main q_min, then spot ratios
-    #      — scale.q_min outlives them all: the 10x per-query evidence
-    #      is the artifact's scarcest content;
-    #   3. last resort, guaranteeing the line ALWAYS fits (r9 advice:
-    #      the old list could be exhausted with the line still over
-    #      budget): remaining attempt histories — even the exculpatory
-    #      ones for accepted:false blocks — then scale.q_min itself.
-    # spot names and memo keys are never dropped (the history-driven
-    # rotation and the memo attribution read them back from wrappers).
-    drops: list[tuple] = []
-    if spotlight is not None and all(compact.get("spot", {}).get("accepted", [])):
-        drops.append(("spot", "att"))
-    if accepted:
-        drops.append(("att",))
-    if scale_check is not None and compact["scale"]["accepted"]:
-        drops.append(("scale", "att"))
-    drops += [
-        ("spot", "q_min_scale"),
-        ("spot", "q_min"),
-        ("q_min",),
-        ("spot", "ratio"),
-        ("spot", "att"),
-        ("att",),
-        ("scale", "att"),
-        ("scale", "q_min"),
-        # doomsday tail so the budget can never be exceeded with drops
-        # left unexhausted (r9 advice)
-        ("trailing_flags",),
-        ("scale", "trailing_flags"),
-        ("memo",),
-        ("scale", "memo"),
-    ]
-    for drop in drops:
-        s = json.dumps(compact, separators=(",", ":"))
-        if len(s) <= TAIL_BUDGET:
-            break
-        node = compact
-        for k in drop[:-1]:
-            node = node.get(k, {})
-        node.pop(drop[-1], None)
-    print(json.dumps(compact, separators=(",", ":")))
+    drops = build_drop_order(
+        accepted,
+        scale_check is not None and compact["scale"]["accepted"],
+        spotlight is not None
+        and bool(compact.get("spot", {}).get("accepted"))
+        and all(compact["spot"]["accepted"]),
+    )
+    print(shrink_to_budget(compact, drops))
 
 
 if __name__ == "__main__":
