@@ -79,7 +79,14 @@ def _attach_abs_units_audit(result: DataFrame, cols: list[str]) -> DataFrame:
     order-independent (DECIMAL accumulation, abs also absorbs PCA sign
     convention) — attached to every row via a broadcast 1-row cross
     join. The driver's rows-only check previously pinned only the row
-    count; tests/test_ml.py pins this scalar identical across runs."""
+    count; tests/test_ml.py pins this scalar identical across runs.
+
+    Cost note: the attach evaluates the result subtree twice (once for
+    the audit agg, once for the output) — a deliberate trade: both
+    passes are linear, the queries are non-headline rows-only ML, and
+    a cache here would pin a corpus-sized frame for a 1-row scalar.
+    Both scale factors pay the same 2x, so sf1/sf0.1 spotlight ratios
+    are unaffected."""
     units = reduce(
         lambda a, b: a + b, [to_units(F.abs(F.col(c)), 4) for c in cols]
     )

@@ -31,6 +31,19 @@ def get_spark(app_name: str = "bdc-dxc-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scan-split sizing for MB-scale local fixtures (r10): the 128MB
+        # default packs a whole fixture table into ONE scan task, so a
+        # CPU-heavy projection (tokenize/stopword-score/shingle-explode
+        # over documents) ran single-threaded on a 32-core local[N] —
+        # e.g. corpus_curation's scoring stage was 1 task at every sf.
+        # 1MB splits give the fixture scans the multi-task shape a real
+        # cluster gets for free (a 100 TB input has ~10^6 row groups);
+        # parallelism stays bounded by the file's row-group count, so
+        # single-group driver fixtures are unaffected. On a real
+        # cluster this conf should be LEFT AT DEFAULT — it is a
+        # local-fixture-scale setting, like shuffle.partitions above.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # JVM unified-logging writes to the process stdout, which the

@@ -51,10 +51,33 @@ def generate(
     con = duckdb.connect()
     con.execute(f"CREATE TEMP TABLE copies AS SELECT unnest(range({copies})) AS i")
 
+    # Row-group sizing (r10): DuckDB's default 122,880-row groups left
+    # documents/embeddings as ONE row group — and a parquet row group is
+    # Spark's unit of scan parallelism, so every CPU-heavy projection
+    # over the corpus (tokenize, stopword scoring, shingle explode) ran
+    # single-threaded regardless of cores. A production 100 TB corpus
+    # has orders of magnitude more row groups than executor cores; the
+    # scale fixture should look like production, not like an accidental
+    # 1-split file. Sizes target >= 32 groups per fact table at 10x.
+    # (The sf0.1 driver fixture is read-only and keeps its single-group
+    # layout; SCALING.md discloses the resulting denominator effect.)
+    ROW_GROUPS: dict[str, int] = {
+        "documents": 1_536,
+        "embeddings": 1_536,
+        "events": 30_000,
+        "orders": 45_000,
+        "lineitem": 50_000,
+        "customer": 4_500,
+        "part": 6_000,
+        "supplier": 2_000,
+    }
+
     def write(table: str, select_sql: str) -> None:
         dest = os.path.join(out, f"{table}.parquet")
+        rg = ROW_GROUPS.get(table)
+        opts = f", ROW_GROUP_SIZE {rg}" if rg else ""
         con.execute(
-            f"COPY ({select_sql}) TO '{dest}' (FORMAT PARQUET)",
+            f"COPY ({select_sql}) TO '{dest}' (FORMAT PARQUET{opts})",
         )
 
     def src_tbl(table: str) -> str:
