@@ -36,8 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
+from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
-from .recommend import _RATINGS_SQL, ratings
+from .recommend import _RATINGS_SQL, cached_ratings
 
 N_QUERY_USERS = 10
 K_NEIGHBORS = 5
@@ -81,7 +82,11 @@ def _capped(
     spark: SparkSession, sf_dir: str, r: DataFrame | None = None
 ) -> DataFrame:
     if r is None:
-        r = ratings(spark, sf_dir)
+        # canonical parameterless path rides the session memo (the
+        # ratings join+groupBy is a 6M-row lineitem join at sf1 and
+        # every itemcf query used to re-derive it 2-4x per run);
+        # custom frames (ranking_eval's train split) stay un-memoized
+        r = cached_ratings(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("rating").desc(), F.col("item_id"))
     return (
         r.withColumn("rn", F.row_number().over(w))
@@ -91,15 +96,37 @@ def _capped(
 
 
 def _neighbors(
-    spark: SparkSession, sf_dir: str, r: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    r: DataFrame | None = None,
+    capped: DataFrame | None = None,
+    focus_items: DataFrame | None = None,
 ) -> DataFrame:
     """(i, j, sim_u, rn): micro-unit cosine similarity per ordered item
     pair, ranked per i. sim_u is BIGINT from the first moment — the
     one float op (sqrt+divide) happens exactly once per pair. Pass a
-    ratings frame to build the model on a subset (train split)."""
-    capped = _capped(spark, sf_dir, r)
+    ratings frame to build the model on a subset (train split), or a
+    pre-materialized ``capped`` frame to share it across the caller's
+    plan (the capped subtree feeds pop + both pair-join sides — four
+    evaluations when left lazy).
+
+    ``focus_items`` (a small item_id frame) prunes the pair join's
+    LEFT side to the items whose neighbor lists the caller actually
+    consumes — every registered query reads neighbors for a bounded
+    focus set (top-10 items, or <=10 query users' <=CAP items), so the
+    O(cap^2 x users) pair explosion shrinks to the focus items'
+    co-rating rows (r10: the unrestricted sf1 pair stage was ~150M
+    rows and 46s; the focused form is semantically identical —
+    popularity stays global, rn per i is complete for every focus i).
+    Pass None to materialize the full item-item model (the serving-
+    time shape a warehouse would persist once per catalog refresh)."""
+    if capped is None:
+        capped = _capped(spark, sf_dir, r)
     pop = capped.groupBy("item_id").agg(F.count("*").alias("n"))
-    a = capped.alias("a")
+    a_side = capped
+    if focus_items is not None:
+        a_side = capped.join(F.broadcast(focus_items), "item_id", "left_semi")
+    a = a_side.alias("a")
     b = capped.alias("b")
     co = (
         a.join(
@@ -147,15 +174,19 @@ WHERE n.rn <= {K_NEIGHBORS}
 def itemcf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{K_NEIGHBORS} most-similar items for each of the
     {N_QUERY_USERS} most-popular items (popularity DESC, item_id
-    tie-break — deterministic on every engine)."""
-    capped = _capped(spark, sf_dir)
+    tie-break — deterministic on every engine). The capped frame is
+    materialized once (executor-side, audit-transparent) and shared by
+    pop, top_items, and both sides of the pair join."""
+    capped = result_checkpoint(_capped(spark, sf_dir))
     pop = capped.groupBy("item_id").agg(F.count("*").alias("n"))
     top_items = (
         pop.orderBy(F.col("n").desc(), F.col("item_id"))
         .limit(N_QUERY_USERS)
         .select("item_id")
     )
-    nb = _neighbors(spark, sf_dir).filter(F.col("rn") <= K_NEIGHBORS)
+    nb = _neighbors(spark, sf_dir, capped=capped, focus_items=top_items).filter(
+        F.col("rn") <= K_NEIGHBORS
+    )
     return nb.join(
         F.broadcast(top_items), nb.i == top_items.item_id
     ).select(
@@ -204,10 +235,14 @@ def itemcf_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     items to their K-pruned neighbors j, excluding items u already
     rated (anti-join). BIGINT micro-unit sums keep the score exact and
     order-independent; ties break on item_id."""
-    r = ratings(spark, sf_dir)
-    capped = _capped(spark, sf_dir)
+    r = cached_ratings(spark, sf_dir)
+    capped = result_checkpoint(_capped(spark, sf_dir))
     qratings = capped.filter(F.col("user_id") <= N_QUERY_USERS)
-    nb = _neighbors(spark, sf_dir).filter(F.col("rn") <= K_NEIGHBORS)
+    # neighbor lists are only read for the query users' capped items
+    focus = qratings.select("item_id").distinct()
+    nb = _neighbors(spark, sf_dir, capped=capped, focus_items=focus).filter(
+        F.col("rn") <= K_NEIGHBORS
+    )
     cand = (
         qratings.join(nb, qratings.item_id == nb.i)
         .select("user_id", F.col("j").alias("cand_item"), "sim_u")

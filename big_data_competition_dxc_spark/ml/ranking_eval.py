@@ -123,10 +123,14 @@ def itemcf_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .itemcf import _capped
 
-    nb = _neighbors(spark, sf_dir, train).filter(F.col("rn") <= K_NEIGHBORS)
     qrated = _capped(spark, sf_dir, train).filter(
         F.col("user_id") <= N_QUERY_USERS
     )
+    # neighbor lists are only read for the query users' capped train
+    # items — prune the pair join to that focus set (see _neighbors)
+    nb = _neighbors(
+        spark, sf_dir, train, focus_items=qrated.select("item_id").distinct()
+    ).filter(F.col("rn") <= K_NEIGHBORS)
     cand = (
         qrated.join(nb, qrated.item_id == nb.i)
         .select("user_id", F.col("j").alias("cand_item"), "sim_u")
