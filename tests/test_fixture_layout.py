@@ -1,0 +1,49 @@
+"""Pins for the r10 scan-parallelism fix (SCALING.md, r10 entry).
+
+A parquet ROW GROUP is Spark's unit of scan parallelism; the pre-r10
+scale fixture shipped `documents` as one row group and the session left
+`maxPartitionBytes` at 128MB, so every CPU-heavy corpus projection ran
+as ONE task on 32 cores. These pins keep both halves of the fix from
+silently regressing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SF1_DIR = os.path.join(os.path.dirname(__file__), "..", "benchdata", "sf1")
+
+#: Minimum row groups per sf1 fact table (gen_scale_data.py ROW_GROUPS
+#: targets >= 32; the floor here leaves slack for DuckDB vector-size
+#: rounding).
+MIN_GROUPS = {
+    "documents": 20,
+    "embeddings": 8,
+    "events": 25,
+    "orders": 25,
+    "lineitem": 100,
+}
+
+
+@pytest.mark.parametrize("table", sorted(MIN_GROUPS))
+def test_sf1_fixture_is_row_group_splittable(table):
+    path = os.path.join(SF1_DIR, f"{table}.parquet")
+    if not os.path.exists(path):
+        pytest.skip("benchdata/sf1 not generated on this tree")
+    groups = pq.ParquetFile(path).num_row_groups
+    assert groups >= MIN_GROUPS[table], (
+        f"{table}: {groups} row groups — a near-single-group scale "
+        "fixture serializes every corpus scan (regenerate with "
+        "scripts/gen_scale_data.py, which sets ROW_GROUP_SIZE per table)"
+    )
+
+
+def test_session_uses_fixture_scale_scan_splits(spark):
+    """The local session must keep MB-scale scan splits; at the 128MB
+    default a whole fixture table is one scan task. (Cluster deploys
+    should leave this at default — session.py documents the split.)"""
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "1m"
+    assert spark.conf.get("spark.sql.files.openCostInBytes") == "1m"
