@@ -46,6 +46,39 @@ _CALLEE_CACHE: dict[int, dict[str, str]] = {}
 _CONST_TYPES = (int, float, str, bytes, bool, tuple, frozenset)
 
 
+def _is_det_const(obj: object) -> bool:
+    """True for scalars and (recursively) all-scalar tuples/frozensets
+    — anything whose canonical repr is process-stable. An object
+    element would repr with a memory address and flip the fingerprint
+    per process."""
+    if type(obj) in (int, float, str, bytes, bool):
+        return True
+    if isinstance(obj, (tuple, frozenset)):
+        return all(_is_det_const(x) for x in obj)
+    return False
+
+
+def _has_frozenset(obj: object) -> bool:
+    if isinstance(obj, frozenset):
+        return True
+    if isinstance(obj, tuple):
+        return any(_has_frozenset(x) for x in obj)
+    return False
+
+
+def _const_repr(obj: object) -> str:
+    """Process-stable repr. Plain ``repr`` except where a frozenset is
+    present — set iteration order is salted per process for strings,
+    so frozensets are sorted before rendering. The repr-compatible
+    fast path matters: switching tuple rendering would spuriously flip
+    every stamped fingerprint that references a tuple constant."""
+    if not _has_frozenset(obj):
+        return repr(obj)
+    if isinstance(obj, frozenset):
+        return "frozenset({" + ",".join(sorted(_const_repr(x) for x in obj)) + "})"
+    return "(" + ",".join(_const_repr(x) for x in obj) + ")"
+
+
 def _collect_deps(fn: object, seen: set[str], out: dict[str, str]) -> None:
     """AST-walk ``fn``'s source for referenced names, resolve them in
     its module globals, and record the source of every same-package
@@ -99,8 +132,8 @@ def _collect_deps(fn: object, seen: set[str], out: dict[str, str]) -> None:
                     out[key] = inspect.getsource(obj)
                 except (OSError, TypeError):
                     out[key] = repr(obj)
-        elif type(obj) in _CONST_TYPES:
-            out.setdefault(f"const:{label}", repr(obj))
+        elif _is_det_const(obj):
+            out.setdefault(f"const:{label}", _const_repr(obj))
 
 
 def _fingerprint(entry: plans.QueryEntry) -> str:
