@@ -232,7 +232,11 @@ def _stamping_violations(history, contracts, registry):
 
     if not history:
         return []
-    history = sorted(history)
+    # Sort by round number ONLY — the payloads are dicts, and a history
+    # holding two same-round entries (the r10 checkpoint crash: a
+    # synthetic stamped+1 entry colliding with the real file the driver
+    # just dropped) must not fall through to comparing dicts.
+    history = sorted(history, key=lambda t: t[0])
     stamped = max(
         (
             e.get("proven_round", -1)
@@ -250,8 +254,10 @@ def _stamping_violations(history, contracts, registry):
     if newest > stamped:
         # post-driver-drop window: the newest file landed after the last
         # stamp (by construction, after the builder's final commit).
-        # Enforce the previous file instead.
-        history = history[:-1]
+        # Enforce the previous ROUND instead — drop every entry carrying
+        # the newest round number, not just the last one, so a history
+        # holding duplicate newest-round entries is fully excused.
+        history = [h for h in history if h[0] < newest]
         if not history:
             return []
     rnd, records = history[-1]
@@ -305,7 +311,14 @@ def test_stamping_invariant_post_driver_drop_simulation():
     """Simulates the judge-checkpoint state: a CORRECTNESS file one
     round newer than the sidecar's stamp must be excused (grace), an
     unstamped OLDER green row must still fail, and a two-round gap must
-    fail."""
+    fail.
+
+    The base history is restricted to rounds <= the sidecar's stamp
+    before the synthetic grace-round entry is appended (r10 verdict
+    item 1): when the driver has already dropped the REAL stamped+1
+    file, appending another stamped+1 entry onto the raw history would
+    duplicate that round — the grace logic would excuse only one of the
+    two and enforce the other, failing at every judge checkpoint."""
     from big_data_competition_dxc_spark import plans
 
     history, contracts = _load_stamping_state()
@@ -313,18 +326,21 @@ def test_stamping_invariant_post_driver_drop_simulation():
         return  # pre-bootstrap tree
     registry = set(plans.QUERIES)
     stamped = max(e["proven_round"] for e in contracts.values())
+    base = [h for h in history if h[0] <= stamped]
+    if not base:
+        return  # sidecar older than every file on disk — nothing to base on
     some_query = next(iter(registry))
     green = {"spark_rows": 1, "err": None}
 
     # 1. post-driver-drop: newest file is stamp+1 → grace, no violations
-    simulated = history + [(stamped + 1, {some_query: green})]
+    simulated = base + [(stamped + 1, {some_query: green})]
     assert _stamping_violations(simulated, contracts, registry) == []
 
     # 2. ...but an unstamped green row in an OLDER file still fails
     broken = dict(contracts)
     victim = next(
         n
-        for n, rec in history[-1][1].items()
+        for n, rec in base[-1][1].items()
         if importlib.import_module("__spark_entry__")._record_succeeded(rec)
         and n in registry
     )
@@ -332,9 +348,46 @@ def test_stamping_invariant_post_driver_drop_simulation():
     assert victim in _stamping_violations(simulated, broken, registry)
 
     # 3. a two-round gap is never excused
-    gapped = history + [(stamped + 2, {some_query: green})]
+    gapped = base + [(stamped + 2, {some_query: green})]
     out = _stamping_violations(gapped, contracts, registry)
     assert out and "grace" in out[0]
+
+
+def test_stamping_invariant_at_judge_checkpoint_state():
+    """Regression for the r10 checkpoint crash: pin the EXACT state the
+    judge sees — a real CORRECTNESS_rN file one round newer than the
+    sidecar stamp (the driver drops rN after the builder's last commit;
+    the stamp is round N+1's first action). Both invariant entry points
+    must stay green in that state, and a duplicated round number in the
+    history (the collision that produced the TypeError) must be handled
+    by the round-keyed sort rather than dict comparison."""
+    from big_data_competition_dxc_spark import plans
+
+    history, contracts = _load_stamping_state()
+    if not history or not contracts:
+        return  # pre-bootstrap tree
+    registry = set(plans.QUERIES)
+    newest_round, newest_records = max(history, key=lambda t: t[0])
+    some_query = next(iter(registry))
+    green = {"spark_rows": 1, "err": None}
+
+    # Reconstruct the checkpoint: sidecar stamped only through N-1,
+    # real rN file present. Grace must excuse rN and enforce r(N-1).
+    checkpoint_contracts = {
+        name: dict(e, proven_round=min(e["proven_round"], newest_round - 1))
+        for name, e in contracts.items()
+        if isinstance(e, dict)
+    }
+    assert (
+        _stamping_violations(history, checkpoint_contracts, registry) == []
+    ), "grace must excuse the driver-dropped newest file at a checkpoint"
+
+    # A history carrying TWO entries for the newest round (the r10
+    # crash shape) must not raise and must still grace both.
+    collided = history + [(newest_round, {some_query: green})]
+    assert (
+        _stamping_violations(collided, checkpoint_contracts, registry) == []
+    )
 
 
 def test_central_memo_registry_clears_everything(spark):
