@@ -142,6 +142,10 @@ def _cpu_probe() -> float:
 
 
 def main() -> None:
+    # The session factory keys its local-fixture shape off the env
+    # contract — pin it here so a bare `python bench.py` still gets the
+    # local[N] master and fixture-scale scan splits.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from big_data_competition_dxc_spark import plans
     from big_data_competition_dxc_spark.session import get_spark

@@ -42,8 +42,11 @@ def test_sf1_fixture_is_row_group_splittable(table):
 
 
 def test_session_uses_fixture_scale_scan_splits(spark):
-    """The local session must keep MB-scale scan splits; at the 128MB
-    default a whole fixture table is one scan task. (Cluster deploys
-    should leave this at default — session.py documents the split.)"""
-    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "1m"
-    assert spark.conf.get("spark.sql.files.openCostInBytes") == "1m"
+    """The local session must lower the split-size FLOOR so MB-scale
+    fixture tables get multi-task scans, while keeping the 128MB ceiling
+    so large tables split by bytes/defaultParallelism instead of a flat
+    1MB tax (the r10 trailing-flag fix — session.py documents the
+    formula). Cluster deploys get stock defaults via build_plan."""
+    assert spark.conf.get("spark.sql.files.openCostInBytes") == "256k"
+    # ceiling stays at the Spark default (134217728 = 128MB)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "134217728b"
