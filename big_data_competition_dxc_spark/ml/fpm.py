@@ -46,3 +46,82 @@ def fpgrowth_pair_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair")[1].alias("part_b"),
         "n_orders",
     )
+
+
+#: Scale-form support: minCount = ceil(n_baskets / 8192) — an exact
+#: power-of-two fraction (2^-13, exactly representable in IEEE double, so
+#: Spark's ceil(minSupport * n) and the DuckDB oracle's CEIL(n / 8192.0)
+#: can never disagree on the threshold).
+FRACTION_DENOM = 8192
+
+#: Output bound for the scale twin — top-k pairs by support with a full
+#: deterministic tie-break, so the result is exact and bounded at any n.
+TOP_K_PAIRS = 25
+
+_FRACTION_TOPK_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders
+FROM pairs, n
+WHERE n_orders >= CEIL(CAST(n_baskets AS DOUBLE) / {FRACTION_DENOM})
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {TOP_K_PAIRS}
+"""
+
+
+@query(
+    "fpgrowth_topk_fraction_support",
+    oracle=_FRACTION_TOPK_ORACLE,
+    tags=("ML", "affinity"),
+)
+def fpgrowth_topk_fraction_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100×-scale form of ``fpgrowth_pair_itemsets`` (r10 verdict
+    item 4, modeled on the ``neardup_curve_sampled`` precedent): the
+    exact twin mines at a FIXED ABSOLUTE support count for oracle
+    parity with ``part_affinity_pairs``, which at 100× data makes
+    nearly every item "frequent" and explodes the itemset space. This
+    form scales the threshold with corpus size (minSupport =
+    1/{FRACTION_DENOM} of baskets, so minCount grows linearly with n
+    and the frequent-item set stays bounded for a fixed vocabulary)
+    and bounds the OUTPUT with a deterministic top-k over the size-2
+    itemsets (freq desc, then both keys — exact under ties).
+
+    Fixture caveat, documented in SCALING.md: TPC-H-style fixtures grow
+    the part CATALOG with sf (per-part support stays ~flat), so the
+    fraction threshold overtakes the signal above sf0.01 and the tail
+    empties — the production 100 TB scenario is the opposite (fixed
+    vocabulary, support grows with data), which is exactly when the
+    fixed-count form dies and this form stays bounded."""
+    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("items"))
+
+    from pyspark.ml.fpm import FPGrowth
+
+    model = FPGrowth(
+        itemsCol="items",
+        minSupport=1.0 / FRACTION_DENOM,
+        minConfidence=0.5,
+    ).fit(baskets)
+    pairs = model.freqItemsets.filter(F.size("items") == 2).select(
+        F.array_sort("items").alias("pair"), F.col("freq").alias("n_orders")
+    )
+    return (
+        pairs.select(
+            F.col("pair")[0].alias("part_a"),
+            F.col("pair")[1].alias("part_b"),
+            "n_orders",
+        )
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(TOP_K_PAIRS)
+    )
