@@ -15,6 +15,7 @@ import inspect
 import json
 import os
 import textwrap
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,8 +37,13 @@ _PACKAGE = "big_data_competition_dxc_spark"
 
 #: Per-function memo of the transitive callee-source map (fn objects are
 #: import-stable, and _rotation_order fingerprints all ~245 entries on
-#: every queries()/oracle_sql() call).
-_CALLEE_CACHE: dict[int, dict[str, str]] = {}
+#: every queries()/oracle_sql() call). Weak-keyed on the function OBJECT
+#: (identity hash) rather than id(): a recycled id after a module reload
+#: or re-registration could otherwise serve a stale dependency map
+#: (r10 advice, __spark_entry__.py:161).
+_CALLEE_CACHE: "weakref.WeakKeyDictionary[object, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 #: Module-level constant types included in the fingerprint by repr — a
 #: referenced scalar like ANN_LSH_BITS changes query behavior exactly
@@ -133,7 +139,23 @@ def _collect_deps(fn: object, seen: set[str], out: dict[str, str]) -> None:
                 except (OSError, TypeError):
                     out[key] = repr(obj)
         elif _is_det_const(obj):
-            out.setdefault(f"const:{label}", _const_repr(obj))
+            # Qualify by the module the name was resolved IN — two
+            # same-named constants in different modules of one call
+            # graph must hash independently, or an edit to the
+            # shadowed one never flips the caller (r10 advice,
+            # __spark_entry__.py:136). For `mod.ATTR` references the
+            # defining module is the referenced one.
+            base = label.split(".", 1)[0]
+            owner = g.get(base) if "." in label else None
+            owner_name = (
+                getattr(owner, "__name__", None)
+                if inspect.ismodule(owner)
+                else None
+            ) or getattr(fn, "__module__", "?")
+            key_label = label.split(".", 1)[1] if "." in label else label
+            out.setdefault(
+                f"const:{owner_name}.{key_label}", _const_repr(obj)
+            )
 
 
 def _fingerprint(entry: plans.QueryEntry) -> str:
@@ -154,11 +176,14 @@ def _fingerprint(entry: plans.QueryEntry) -> str:
         src = inspect.getsource(entry.fn)
     except (OSError, TypeError):  # builtins / REPL-defined: fall back
         src = repr(entry.fn)
-    deps = _CALLEE_CACHE.get(id(entry.fn))
+    deps = _CALLEE_CACHE.get(entry.fn)
     if deps is None:
         deps = {}
         _collect_deps(entry.fn, set(), deps)
-        _CALLEE_CACHE[id(entry.fn)] = deps
+        try:
+            _CALLEE_CACHE[entry.fn] = deps
+        except TypeError:  # non-weakref-able callables: recompute each time
+            pass
     dep_blob = "\x00".join(f"{k}\x01{deps[k]}" for k in sorted(deps))
     payload = (entry.oracle or "<rows-only>") + "\x00" + src + "\x00" + dep_blob
     return hashlib.sha256(payload.encode()).hexdigest()[:16]

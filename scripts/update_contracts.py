@@ -40,18 +40,14 @@ sys.path.insert(0, HERE)
 # with a sentinel that can never match a real fingerprint.
 BOOTSTRAP_UNPROVEN = {"stream_incremental_dedup"}
 
-# Queries known, at r10 rebase time, to sit in the r9 fingerprint
-# algorithm's helper blind spot: their shared helpers
-# (connected_components / jaccard_pairs_cached) were rewritten in r9
-# but the registered-source-only fingerprint did not flip, so their
-# driver rows are r6-green against code that no longer exists. The
-# rebase stamps them with a sentinel so they rank stale-fail at the
-# rotation front until the driver re-proves them (r9 verdict item 2).
-REBASE_UNPROVEN = {
-    "neardup_components",
-    "neardup_canonical_keep",
-    "neardup_component_stats",
-}
+# Queries known, at rebase time, to sit in a fingerprint-algorithm
+# blind spot (their helpers drifted without flipping the old hash),
+# stamped with a sentinel so they rank stale-fail at the rotation
+# front until the driver re-proves them. The r10 rebase carried the
+# neardup family here (r9 verdict item 2); the driver re-proved all
+# three hash-green in CORRECTNESS_r10, so the r11 rebase (const keys
+# qualified by defining module) has no known blind-spot names.
+REBASE_UNPROVEN: set[str] = set()
 
 
 def _round_no(path: str) -> int:
