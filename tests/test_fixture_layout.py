@@ -41,6 +41,28 @@ def test_sf1_fixture_is_row_group_splittable(table):
     )
 
 
+def test_sf1_scan_task_counts_near_core_count(spark):
+    """End-to-end pin of the split formula against the scale fixture:
+    with the 256k openCostInBytes floor under the default 128MB
+    ceiling, both the big table (lineitem, bytes/parallelism-sized
+    splits) and the small CPU-heavy table (documents, floor-sized
+    splits) must land NEAR the session's core count — neither the r10
+    1-task serialization nor the 135-task flat-1MB tax. Bounds are
+    loose on purpose: they catch order-of-magnitude regressions, not
+    byte-level drift."""
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(SF1_DIR, "lineitem.parquet")):
+        pytest.skip("benchdata/sf1 not generated on this tree")
+    from big_data_competition_dxc_spark.sources import load
+
+    cores = int(spark.sparkContext.defaultParallelism)
+    li = load(spark, SF1_DIR, "lineitem").rdd.getNumPartitions()
+    doc = load(spark, SF1_DIR, "documents").rdd.getNumPartitions()
+    assert cores <= li <= 5 * cores, f"lineitem scan tasks {li} vs {cores} cores"
+    assert 4 <= doc <= 5 * cores, f"documents scan tasks {doc} vs {cores} cores"
+
+
 def test_session_uses_fixture_scale_scan_splits(spark):
     """The local session must lower the split-size FLOOR so MB-scale
     fixture tables get multi-task scans, while keeping the 128MB ceiling
