@@ -530,3 +530,66 @@ def neardup_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_CURVE_BPS)}, {stack_args}) AS "
         "(threshold, n_pairs_sampled, est_pairs, n_vecs_sampled)"
     )
+
+
+_SUMMARY_SAMPLED_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {_SQL_CURVE_SAMPLE}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+),
+sym AS (
+  SELECT vec_a AS vec_id, cos_sim FROM pairs
+  UNION ALL
+  SELECT vec_b AS vec_id, cos_sim FROM pairs
+)
+SELECT CAST(FLOOR(cos_sim * 20) AS BIGINT) AS sim_band,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs_sampled,
+       CAST((COUNT(*) // 2) * {CURVE_EST_SCALE} AS BIGINT) AS est_pairs,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_docs_sampled
+FROM sym GROUP BY 1
+"""
+
+
+@query(
+    "embedding_neardup_summary_sampled",
+    oracle=_SUMMARY_SAMPLED_ORACLE,
+    tags=("similarity", "dedup", "bounded", "sampling", "scale"),
+)
+def embedding_neardup_summary_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity-band histogram on the DETERMINISTIC 1/2 vector
+    sample — the scale path for `embedding_neardup_summary`, whose
+    OUTPUT is constant (~12 bands) but whose WALL still pays the exact
+    quadratic pair scoring (r11 preview: 9.2s sf0.1 -> 120s sf1, 13x
+    wall at 1.4x output — the same exactness cost
+    `neardup_threshold_curve` carries, pre-empted the same way as r8's
+    `neardup_curve_sampled`). Sampling vectors at keep-rate q shrinks
+    the scored pair space by q^2 (4x here; q=0.1 at 100 TB -> 100x);
+    ``est_pairs = n_pairs_sampled * {CURVE_EST_SCALE}`` is the unbiased
+    exact-integer per-band estimate (each qualifying pair survives with
+    probability q^2), subject to the documented >=100-pairs-per-band
+    reliability floor (SCALING.md, hub-correlated pair survival). The
+    md5 threshold on vec_id makes the sample — and the whole histogram
+    — reproducible with a full DuckDB oracle. Doc counts are reported
+    as raw sampled counts (no estimator claimed: partner survival is
+    hub-correlated, the same caveat as the curve's n_vecs_sampled)."""
+    from ..functions.hashing import md5_bigint
+
+    keep = md5_bigint(F.col("vec_id").cast("string"), 12) % 10000 < F.lit(
+        CURVE_SAMPLE_BP
+    )
+    pairs = _block_pair_sims(spark, sf_dir, NEARDUP_COS, keep=keep)
+    sym = pairs.select(F.col("vec_a").alias("vec_id"), "cos_sim").unionAll(
+        pairs.select(F.col("vec_b").alias("vec_id"), "cos_sim")
+    )
+    half = (F.count("*") / 2).cast("bigint")
+    return sym.groupBy(
+        F.floor(F.col("cos_sim") * 20).cast("bigint").alias("sim_band")
+    ).agg(
+        half.alias("n_pairs_sampled"),
+        (half * CURVE_EST_SCALE).alias("est_pairs"),
+        F.countDistinct("vec_id").cast("bigint").alias("n_docs_sampled"),
+    )
