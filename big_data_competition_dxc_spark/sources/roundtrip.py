@@ -503,3 +503,58 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files_after bigint, n_partitions bigint, n_rows bigint, "
         "total_value double",
     )
+
+
+_BINARYFILE_ORACLE = """
+SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS file_name,
+       CAST(strlen(n_name || '|' || CAST(n_regionkey AS VARCHAR)) AS BIGINT)
+         AS n_bytes,
+       md5(n_name || '|' || CAST(n_regionkey AS VARCHAR)) AS content_md5
+FROM nation
+"""
+
+
+@query(
+    "binaryfile_ingest_audit",
+    oracle=_BINARYFILE_ORACLE,
+    tags=("S1", "multimodal"),
+)
+def binaryfile_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source as the multimodal RAW-INGESTION
+    seam: images/audio/video land on a filesystem as opaque files
+    before they are ever parquet columns, and
+    ``spark.read.format("binaryFile")`` is the built-in, JVM-side,
+    partition-parallel way to lift them into (path, length, content)
+    rows — the step upstream of every multimodal/binary_ops.py decode
+    pipeline. At 100 TB the reader distributes per-file (a directory of
+    media shards scans like any other splittable source, one task per
+    file) with no Python in the scan.
+
+    Oracle design: the file CONTENT is derived deterministically from
+    the ``nation`` table (name|regionkey as UTF-8, one file per key,
+    scale-invariant 25 rows at every sf), so the DuckDB oracle recomputes
+    the full audit — byte length and md5 — from the TABLE without ever
+    seeing the scratch files; parity holds iff the binary round-trip is
+    byte-lossless. Spark's ``md5`` hashes the raw bytes; DuckDB's
+    ``md5(VARCHAR)`` hashes the same UTF-8 bytes; ``strlen`` is
+    DuckDB's byte (not character) length, matching binaryFile's
+    ``length``."""
+    src = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()  # 25 rows at every sf — bounded driver materialization
+    )
+    with _scratch_dir("binfile_") as out:
+        for r in src:
+            payload = f"{r.n_name}|{r.n_regionkey}".encode("utf-8")
+            with open(os.path.join(out, f"nation_{r.n_nationkey}.bin"), "wb") as f:
+                f.write(payload)
+        audited = spark.read.format("binaryFile").load(out).select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        rows = audited.collect()
+    return spark.createDataFrame(
+        rows, "file_name string, n_bytes bigint, content_md5 string"
+    )
