@@ -529,3 +529,94 @@ def knn_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between-pipeline hygiene) owns its lifetime.
     out = result_checkpoint(out)
     return out
+
+
+# --- ALS scale-form twin ---------------------------------------------------
+# Deterministic 1-in-ALS_SAMPLE_MOD user sample for the bounded-cost ALS
+# twin: xxhash64 is seed-stable across runs, partitionings, and Spark
+# versions within a release line, so the sampled user set is a pure
+# function of the data (same pattern as operators/sampling.py's
+# hash_sample_events).
+ALS_SAMPLE_MOD = 8
+ALS_SAMPLE_REMAINDER = 3
+ALS_SAMPLE_ITERS = 5
+
+
+@query("ml_als_recommend_sampled", tags=("ML8", "ML13", "J8", "U4", "S8"))
+def ml_als_recommend_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-form twin of ml_als_recommend (same treatment FP-growth got
+    in fpgrowth_topk_fraction_support): the exact form is the
+    reference-parity anchor (D:23-108, rank 10 / maxIter 10 over the
+    FULL ratings nnz) and reads 8.5-11.5x wall at 10x data — ~linear in
+    nnz as ALS theory predicts, but ~123s absolute at sf1, the
+    registry's documented inherent-model-cost query. This twin bounds
+    the constant, not the asymptote, with two knobs a 100 TB deployment
+    would actually turn:
+
+    (a) train on a deterministic 1/{mod} user sample (xxhash64(user_id)
+        % {mod} == {rem} — seed-stable, partitioning-independent), so
+        per-sweep cost ~ nnz/{mod};
+    (b) maxIter {iters} instead of 10 (ALS residual improvement is
+        steeply front-loaded; the fixture MSE gap to the anchor is
+        readable from the two summary rows).
+
+    Evaluation is form-identical to the anchor — MSE on the sampled
+    users' held-out 40%, top-{k} hit rate with the train-side
+    anti-join — so the quality/cost trade is a two-row diff. Rows-only
+    check with the r8-style audited determinism scalar."""
+    r = cached_ratings(spark, sf_dir)
+    sampled = r.filter(
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(ALS_SAMPLE_MOD))
+        == F.lit(ALS_SAMPLE_REMAINDER)
+    )
+    train, test = sampled.randomSplit([0.6, 0.4], seed=11)
+    train = train.cache()
+    als = ALS(
+        rank=10,
+        maxIter=ALS_SAMPLE_ITERS,
+        regParam=0.01,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        seed=11,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(train)
+    mse = RegressionEvaluator(
+        labelCol="rating", predictionCol="prediction", metricName="mse"
+    ).evaluate(model.transform(test))
+
+    users = sampled.select("user_id").distinct()
+    recs = (
+        model.recommendForUserSubset(users, TOPK_RECS + 20)
+        .select("user_id", F.explode("recommendations").alias("rec"))
+        .select(
+            "user_id",
+            F.col("rec.item_id").alias("item_id"),
+            F.col("rec.rating").alias("score"),
+        )
+    )
+    unseen = recs.join(
+        train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    topk = unseen.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOPK_RECS
+    )
+    hits = topk.join(test.select("user_id", "item_id"), ["user_id", "item_id"]).count()
+    n_users = users.count()
+    units = topk.agg(F.sum(to_units(F.col("score"), 4)).alias("u")).collect()[0]["u"]
+    train.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_users),
+                round(float(mse), 4),
+                int(hits),
+                round(hits / float(n_users * TOPK_RECS), 4) if n_users else 0.0,
+                int(units or 0),
+            )
+        ],
+        "n_users bigint, mse_test double, n_hits bigint, hit_rate double,"
+        " audit_topk_score_units bigint",
+    )

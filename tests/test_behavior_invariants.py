@@ -277,3 +277,54 @@ def test_zorder_bounds_both_dimensions(spark):
         f"z-order part extent {mean_part} should be far below the "
         f"date-sorted layout's {mean_part_datesorted}"
     )
+
+
+def test_pit_feature_join_is_leakage_safe(spark):
+    """The PIT law: every feature value visible at a label must derive
+    from STRICTLY earlier days. Re-derives clicks_before independently
+    (correlated count over raw events, a different plan shape than the
+    union-window composition) and checks spend_before never reads a
+    same-day or later order."""
+    out = _df("pit_feature_join", spark)
+    ev = load(spark, SF_TEST_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.to_date("ts").alias("cds")
+    )
+    # independent re-derivation: count of click events strictly before
+    rederived = (
+        out.join(clicks, "user_id", "left")
+        .groupBy("event_id", "clicks_before")
+        .agg(
+            F.sum(
+                F.when(F.col("cds") < F.col("label_ds"), 1).otherwise(0)
+            ).alias("expect")
+        )
+    )
+    bad = rederived.filter(
+        F.col("clicks_before") != F.coalesce(F.col("expect"), F.lit(0))
+    ).count()
+    assert bad == 0
+    # spend_before, when present, must equal the user's day-spend on
+    # some strictly earlier date — and labels with NO earlier order
+    # must carry NULL
+    orders = load(spark, SF_TEST_DIR, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("ods"),
+    )
+    earliest = orders.groupBy("user_id").agg(F.min("ods").alias("first_ods"))
+    joined = out.join(earliest, "user_id", "left")
+    assert (
+        joined.filter(
+            F.col("spend_before").isNotNull()
+            & (F.col("first_ods").isNull() | (F.col("first_ods") >= F.col("label_ds")))
+        ).count()
+        == 0
+    )
+    assert (
+        joined.filter(
+            F.col("spend_before").isNull()
+            & F.col("first_ods").isNotNull()
+            & (F.col("first_ods") < F.col("label_ds"))
+        ).count()
+        == 0
+    )

@@ -268,3 +268,19 @@ def test_pandas_udf_cosine_matches_jvm_fold(spark):
     assert set(jvm) == set(py)
     for k, v in jvm.items():
         assert abs(v - py[k]) < 1e-12, (k, v, py[k])
+
+
+def test_als_recommend_sampled(spark):
+    # scale-form twin: bounded-cost ALS (1/8 user sample, 5 iters) with
+    # the same summary-row contract as the anchor
+    [r] = _run("ml_als_recommend_sampled", spark).collect()
+    assert r["n_users"] > 0
+    assert math.isfinite(r["mse_test"])
+    assert 0.0 <= r["hit_rate"] <= 1.0
+    assert r["audit_topk_score_units"] != 0
+    [r2] = _run("ml_als_recommend_sampled", spark).collect()
+    assert r2["audit_topk_score_units"] == r["audit_topk_score_units"]
+    assert r2["n_hits"] == r["n_hits"]
+    # the sample is a strict subset of the anchor's user universe
+    [anchor] = _run("ml_als_recommend", spark).collect()
+    assert r["n_users"] < anchor["n_users"]
