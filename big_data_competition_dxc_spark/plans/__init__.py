@@ -61,6 +61,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.functions.semistructured",
         "big_data_competition_dxc_spark.operators.asof",
         "big_data_competition_dxc_spark.operators.feature_pit",
+        "big_data_competition_dxc_spark.textops.bpe_learn",
         # --- round-4 training-data pipeline additions (never yet in a
         # driver window; placed before the twice-verified relational core) ---
         "big_data_competition_dxc_spark.textops.repetition",

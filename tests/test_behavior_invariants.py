@@ -328,3 +328,25 @@ def test_pit_feature_join_is_leakage_safe(spark):
         ).count()
         == 0
     )
+
+
+def test_bpe_learn_merges_laws(spark):
+    """Laws of the greedy merge loop: one row per iteration in order,
+    merged = left||right with left != right, counts positive and
+    NON-INCREASING (iteration 1 takes the global max; merging removes
+    rows and creates adjacency only through the merged symbol, whose
+    occurrence count is bounded by the chosen pair's — so no later
+    pair can exceed an earlier winner), and the whole table is
+    deterministic on rerun."""
+    from big_data_competition_dxc_spark.textops.bpe_learn import N_MERGES
+
+    rows = _df("bpe_learn_merges", spark).collect()
+    assert [r.it for r in rows] == list(range(1, N_MERGES + 1))
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.left_sym != r.right_sym
+        assert r.n > 0
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    rerun = _df("bpe_learn_merges", spark).collect()
+    assert [tuple(r) for r in rerun] == [tuple(r) for r in rows]
