@@ -553,15 +553,15 @@ def ml_als_recommend_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the constant, not the asymptote, with two knobs a 100 TB deployment
     would actually turn:
 
-    (a) train on a deterministic 1/{mod} user sample (xxhash64(user_id)
-        % {mod} == {rem} — seed-stable, partitioning-independent), so
-        per-sweep cost ~ nnz/{mod};
-    (b) maxIter {iters} instead of 10 (ALS residual improvement is
-        steeply front-loaded; the fixture MSE gap to the anchor is
-        readable from the two summary rows).
+    (a) train on a deterministic 1-in-ALS_SAMPLE_MOD user sample
+        (xxhash64(user_id) — seed-stable, partitioning-independent),
+        so per-sweep cost ~ nnz / ALS_SAMPLE_MOD;
+    (b) ALS_SAMPLE_ITERS sweeps instead of 10 (ALS residual
+        improvement is steeply front-loaded; the fixture MSE gap to
+        the anchor is readable from the two summary rows).
 
     Evaluation is form-identical to the anchor — MSE on the sampled
-    users' held-out 40%, top-{k} hit rate with the train-side
+    users' held-out 40%, top-TOPK_RECS hit rate with the train-side
     anti-join — so the quality/cost trade is a two-row diff. Rows-only
     check with the r8-style audited determinism scalar."""
     r = cached_ratings(spark, sf_dir)
