@@ -350,3 +350,40 @@ def test_bpe_learn_merges_laws(spark):
     assert ns == sorted(ns, reverse=True)
     rerun = _df("bpe_learn_merges", spark).collect()
     assert [tuple(r) for r in rerun] == [tuple(r) for r in rows]
+
+
+def test_bpe_merge_apply_reconstructs_words(spark):
+    """The reconstruction law: after all merge rounds, concatenating a
+    word's surviving symbols in position order reproduces the word
+    exactly — the apply step (drop absorbed row, rewrite merged row,
+    renumber) loses and duplicates nothing, for every word type."""
+    from big_data_competition_dxc_spark.textops.bpe_learn import (
+        N_MERGES,
+        _run_merge_loop,
+    )
+
+    from pyspark.sql import Window
+
+    merges, toks = _run_merge_loop(spark, SF_TEST_DIR, N_MERGES)
+    assert len(merges) == N_MERGES
+    # collect_list order is nondeterministic — sort (pos, sym) structs
+    # inside the array before joining, so the check is order-proof
+    rebuilt = (
+        toks.withColumn(
+            "joined",
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "sym")).over(
+                            Window.partitionBy("w")
+                        )
+                    ),
+                    lambda s: s["sym"],
+                ),
+            ),
+        )
+        .select("w", "joined")
+        .distinct()
+    )
+    assert rebuilt.filter(F.col("w") != F.col("joined")).count() == 0
