@@ -387,3 +387,16 @@ def test_bpe_merge_apply_reconstructs_words(spark):
         .distinct()
     )
     assert rebuilt.filter(F.col("w") != F.col("joined")).count() == 0
+
+
+def test_bpe_encode_stats_consistency(spark):
+    """Encoding stats must be internally consistent: saved =
+    before - after, after < before (3 merges on this corpus always
+    save something), compression = before/after at 4dp, and the saved
+    total equals the sum of the learned merge counts (each merge
+    occurrence removes exactly one token, corpus-weighted)."""
+    [r] = _df("bpe_encode_stats", spark).collect()
+    assert r.saved == r.tokens_before - r.tokens_after > 0
+    assert abs(r.compression - round(r.tokens_before / r.tokens_after, 4)) < 1e-9
+    merges = _df("bpe_learn_merges", spark).collect()
+    assert r.saved == sum(m.n for m in merges)
