@@ -62,6 +62,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.asof",
         "big_data_competition_dxc_spark.operators.feature_pit",
         "big_data_competition_dxc_spark.textops.bpe_learn",
+        "big_data_competition_dxc_spark.streaming.pit_enrich",
         # --- round-4 training-data pipeline additions (never yet in a
         # driver window; placed before the twice-verified relational core) ---
         "big_data_competition_dxc_spark.textops.repetition",

@@ -400,3 +400,20 @@ def test_bpe_encode_stats_consistency(spark):
     assert abs(r.compression - round(r.tokens_before / r.tokens_after, 4)) < 1e-9
     merges = _df("bpe_learn_merges", spark).collect()
     assert r.saved == sum(m.n for m in merges)
+
+
+def test_stream_pit_matches_batch_pit(spark):
+    """The streaming periodized range join and the batch union+window
+    PIT composition are two plans for the same operator: spend_before
+    must agree row-for-row on the bounded fixture."""
+    batch = _df("pit_feature_join", spark).select(
+        "event_id", F.col("spend_before").alias("b_spend")
+    )
+    stream = _df("stream_pit_enrich", spark).select("event_id", "spend_before")
+    joined = stream.join(batch, "event_id", "full_outer")
+    assert (
+        joined.filter(
+            ~F.col("spend_before").eqNullSafe(F.col("b_spend"))
+        ).count()
+        == 0
+    )
