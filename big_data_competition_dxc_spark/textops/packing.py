@@ -181,3 +181,67 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+N_EPOCHS = 3
+HEAD_K = 10
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH r AS (
+  SELECT e.epoch, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.epoch
+           ORDER BY {sql_md5_bigint("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")},
+                    d.doc_id
+         ) AS rn
+  FROM documents d, (SELECT UNNEST(generate_series(1, {N_EPOCHS})) AS epoch) e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       string_agg(CASE WHEN rn <= {HEAD_K} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY rn) AS head_docs,
+       CAST(SUM(rn * doc_id) AS BIGINT) AS perm_checksum
+FROM r GROUP BY epoch
+"""
+
+
+@query("epoch_shuffle_order", oracle=_EPOCH_SHUFFLE_ORACLE, tags=("textops", "packing", "U4"))
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic training shuffle: each epoch e re-orders
+    the corpus by md5(e || ':' || doc_id) — a different but fully
+    reproducible permutation per epoch, the property a resumable
+    trainer needs (restart epoch 2 anywhere, get the same order; no
+    RNG state to persist). One row per epoch: the first {HEAD_K}
+    doc_ids in order (the readable head) and sum(rank x doc_id) over
+    the ENTIRE permutation — a checksum the oracle can only match if
+    every rank of every document agrees, not just the head.
+
+    Scale note: the per-epoch global row_number is the VERIFICATION
+    form (one range exchange per epoch at fixture scale). The 100 TB
+    production form keeps the same salted hash but never totally
+    orders: shard = pmod(hash, n_shards) routes the write
+    (training_shard_assignment above) and each shard sorts locally —
+    identical read order per epoch, no global sort."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    e = docs.withColumn("epoch", F.explode(F.sequence(F.lit(1), F.lit(N_EPOCHS))))
+    h = md5_bigint(
+        F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("epoch").orderBy(h.asc(), F.col("doc_id").asc())
+    r = e.withColumn("rn", F.row_number().over(w))
+    return r.groupBy(F.col("epoch").cast("bigint").alias("epoch")).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= HEAD_K,
+                            F.struct(F.col("rn"), F.col("doc_id")),
+                        )
+                    )
+                ),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+        ).alias("head_docs"),
+        F.sum(F.col("rn") * F.col("doc_id")).cast("bigint").alias("perm_checksum"),
+    )

@@ -417,3 +417,27 @@ def test_stream_pit_matches_batch_pit(spark):
         ).count()
         == 0
     )
+
+
+def test_epoch_shuffle_orders_differ_and_are_stable(spark):
+    """Each epoch must be a DIFFERENT permutation (distinct heads and
+    checksums — the point of the epoch salt), every head must list
+    HEAD_K real doc_ids, and the whole table must be identical on
+    rerun (no RNG anywhere)."""
+    from big_data_competition_dxc_spark.textops.packing import HEAD_K, N_EPOCHS
+
+    rows = _df("epoch_shuffle_order", spark).collect()
+    assert len(rows) == N_EPOCHS
+    heads = [r.head_docs for r in rows]
+    assert len(set(heads)) == N_EPOCHS
+    assert len({r.perm_checksum for r in rows}) == N_EPOCHS
+    doc_ids = {
+        r.doc_id
+        for r in load(spark, SF_TEST_DIR, "documents").select("doc_id").collect()
+    }
+    for h in heads:
+        parts = h.split(",")
+        assert len(parts) == HEAD_K
+        assert all(int(p) in doc_ids for p in parts)
+    rerun = _df("epoch_shuffle_order", spark).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
