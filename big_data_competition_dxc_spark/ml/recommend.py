@@ -562,14 +562,28 @@ def ml_als_recommend_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Evaluation is form-identical to the anchor — MSE on the sampled
     users' held-out 40%, top-TOPK_RECS hit rate with the train-side
-    anti-join — so the quality/cost trade is a two-row diff. Rows-only
-    check with the r8-style audited determinism scalar."""
+    anti-join — so the quality/cost trade is a two-row diff, except the
+    60/40 split itself is a salted-hash predicate (not randomSplit,
+    which is partition-layout-dependent) so every scalar here is a pure
+    function of the data across cluster shapes. Rows-only check with
+    the r8-style audited determinism scalar."""
     r = cached_ratings(spark, sf_dir)
     sampled = r.filter(
         F.pmod(F.xxhash64(F.col("user_id")), F.lit(ALS_SAMPLE_MOD))
         == F.lit(ALS_SAMPLE_REMAINDER)
     )
-    train, test = sampled.randomSplit([0.6, 0.4], seed=11)
+    # 60/40 split from a SECOND salted hash rather than randomSplit:
+    # randomSplit(seed=...) is only stable for a fixed partition layout
+    # of the input, so the anchor's split (kept for reference parity,
+    # D:51) can differ across cluster shapes. The twin's selling point
+    # is cross-layout determinism, so its split is a pure function of
+    # (user_id, item_id) like the user sample above.
+    is_train = (
+        F.pmod(F.xxhash64(F.col("user_id"), F.col("item_id"), F.lit("split")), F.lit(5))
+        < F.lit(3)
+    )
+    train = sampled.filter(is_train)
+    test = sampled.filter(~is_train)
     train = train.cache()
     als = ALS(
         rank=10,

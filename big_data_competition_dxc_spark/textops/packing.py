@@ -185,6 +185,14 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_EPOCHS = 3
 HEAD_K = 10
+# Checksum modulus. Each term (rn % p) * (doc_id % p) % p stays < p, so the
+# term product fits int64 (p^2 < 2^63) and the running SUM only wraps past
+# ~9.2e9 rows per epoch in Spark's non-ANSI sum (DuckDB widens to HUGEINT
+# and both sides reduce % p before the final cast). Without the modulus the
+# raw SUM(rn * doc_id) grows ~N^2 and the two engines overflow differently
+# (DuckDB raises, Spark wraps) from ~15M documents — far inside the 100 TB
+# posture this module advertises.
+CHECKSUM_P = 1_000_000_007
 
 _EPOCH_SHUFFLE_ORACLE = f"""
 WITH r AS (
@@ -199,7 +207,8 @@ WITH r AS (
 SELECT CAST(epoch AS BIGINT) AS epoch,
        string_agg(CASE WHEN rn <= {HEAD_K} THEN CAST(doc_id AS VARCHAR) END,
                   ',' ORDER BY rn) AS head_docs,
-       CAST(SUM(rn * doc_id) AS BIGINT) AS perm_checksum
+       CAST(SUM((rn % {CHECKSUM_P}) * (doc_id % {CHECKSUM_P}) % {CHECKSUM_P})
+            % {CHECKSUM_P} AS BIGINT) AS perm_checksum
 FROM r GROUP BY epoch
 """
 
@@ -211,9 +220,11 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible permutation per epoch, the property a resumable
     trainer needs (restart epoch 2 anywhere, get the same order; no
     RNG state to persist). One row per epoch: the first {HEAD_K}
-    doc_ids in order (the readable head) and sum(rank x doc_id) over
-    the ENTIRE permutation — a checksum the oracle can only match if
-    every rank of every document agrees, not just the head.
+    doc_ids in order (the readable head) and sum(rank x doc_id) mod
+    {CHECKSUM_P} over the ENTIRE permutation — a checksum the oracle
+    can only match if every rank of every document agrees, not just
+    the head (modular so both engines agree at any corpus size; see
+    CHECKSUM_P above).
 
     Scale note: the per-epoch global row_number is the VERIFICATION
     form (one range exchange per epoch at fixture scale). The 100 TB
@@ -243,5 +254,12 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["doc_id"].cast("string"),
             ),
         ).alias("head_docs"),
-        F.sum(F.col("rn") * F.col("doc_id")).cast("bigint").alias("perm_checksum"),
+        (
+            F.sum(
+                (F.col("rn") % CHECKSUM_P) * (F.col("doc_id") % CHECKSUM_P) % CHECKSUM_P
+            )
+            % CHECKSUM_P
+        )
+        .cast("bigint")
+        .alias("perm_checksum"),
     )

@@ -407,16 +407,55 @@ def test_stream_pit_matches_batch_pit(spark):
     PIT composition are two plans for the same operator: spend_before
     must agree row-for-row on the bounded fixture."""
     batch = _df("pit_feature_join", spark).select(
-        "event_id", F.col("spend_before").alias("b_spend")
+        "event_id",
+        F.col("user_id").alias("b_user"),
+        F.col("spend_before").alias("b_spend"),
     )
-    stream = _df("stream_pit_enrich", spark).select("event_id", "spend_before")
+    stream = _df("stream_pit_enrich", spark).select(
+        "event_id", "user_id", "spend_before"
+    )
+    # Equal cardinality first, then compare the never-null user_id as
+    # well as spend_before: a label with NULL spend_before that one
+    # plan DROPS entirely would otherwise slip through the full_outer
+    # eqNullSafe check (NULL eqNullSafe NULL is true on the unmatched
+    # half of the outer join); an unmatched row always has exactly one
+    # NULL user_id side, so the user_id comparison flags it.
+    assert stream.count() == batch.count()
     joined = stream.join(batch, "event_id", "full_outer")
     assert (
         joined.filter(
             ~F.col("spend_before").eqNullSafe(F.col("b_spend"))
+            | ~F.col("user_id").eqNullSafe(F.col("b_user"))
         ).count()
         == 0
     )
+
+
+def test_fpgrowth_fixed_vocab_tail_is_nonempty(spark):
+    """The fixture-regime FP-growth twin's whole point (r11 verdict
+    item 4): folding parts onto the bounded % VOCAB_MOD vocabulary must
+    keep the frequent tail NON-EMPTY under the fraction threshold even
+    as sf grows — the un-projected twin's tail empties above sf0.01.
+    Pins: non-empty output, items inside [0, VOCAB_MOD), canonical
+    item_a < item_b ordering, counts at/above the fraction threshold,
+    and the deterministic top-k sort."""
+    from big_data_competition_dxc_spark.ml.fpm import (
+        TOP_K_PAIRS,
+        VOCAB_FRACTION_DENOM,
+        VOCAB_MOD,
+    )
+
+    rows = _df("fpgrowth_fixed_vocab_topk", spark).collect()
+    assert 0 < len(rows) <= TOP_K_PAIRS
+    n_baskets = (
+        load(spark, SF_TEST_DIR, "lineitem").select("l_orderkey").distinct().count()
+    )
+    threshold = -(-n_baskets // VOCAB_FRACTION_DENOM)
+    for r in rows:
+        assert 0 <= r.item_a < r.item_b < VOCAB_MOD
+        assert r.n_orders >= threshold
+    keys = [(-r.n_orders, r.item_a, r.item_b) for r in rows]
+    assert keys == sorted(keys)
 
 
 def test_epoch_shuffle_orders_differ_and_are_stable(spark):
