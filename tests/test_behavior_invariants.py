@@ -402,6 +402,57 @@ def test_bpe_encode_stats_consistency(spark):
     assert r.saved == sum(m.n for m in merges)
 
 
+def test_bpe_oracle_degenerate_corpus_matches_loop(spark, tmp_path):
+    """A corpus with FEWER than N_MERGES mergeable pairs must produce
+    the same merge table AND the same final token rows from the Spark
+    loop (clean ``break``) and the DuckDB oracle (COALESCE-guarded
+    tok{i} passthrough). Before the r12 guard, the oracle's empty
+    best{i} turned the tok{i} WHERE clause NULL and silently dropped
+    every row with non-null prv — this pins the divergence trap shut
+    on a corpus where best2/best3 are genuinely empty."""
+    import duckdb
+    import pandas as pd
+
+    from big_data_competition_dxc_spark.textops.bpe_learn import (
+        N_MERGES,
+        _oracle_sql,
+        _run_merge_loop,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["ab ab", "ab"],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [5, 2],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    merges, toks = _run_merge_loop(spark, str(tmp_path), N_MERGES)
+    assert len(merges) == 1  # the loop broke cleanly after the only merge
+    assert merges[0][1:4] == ("a", "b", "ab")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sql = _oracle_sql(N_MERGES)
+    oracle_merges = con.execute(sql).fetchall()
+    assert len(oracle_merges) == 1
+    assert oracle_merges[0][1:4] == ("a", "b", "ab")
+    head = sql[: sql.index("\nSELECT * FROM (")]
+    tok_oracle = con.execute(
+        head + f"\nSELECT w, freq, pos, sym FROM tok{N_MERGES} ORDER BY w, pos"
+    ).fetchall()
+    tok_spark = [
+        tuple(r) for r in toks.select("w", "freq", "pos", "sym").orderBy("w", "pos").collect()
+    ]
+    assert tok_oracle == tok_spark == [("ab", 3, 1, "ab")]
+    con.close()
+
+
 def test_stream_pit_matches_batch_pit(spark):
     """The streaming periodized range join and the batch union+window
     PIT composition are two plans for the same operator: spend_before
