@@ -7,16 +7,48 @@ candidate-pair shuffle), which is the path to 3-item-and-larger sets a
 pair self-join can't reach. Restricted to size-2 itemsets its output
 must EQUAL the SQL pair counts — so this ML query carries a full
 DuckDB oracle, pinning the library against the relational engine.
+
+All three queries share one mining shape (basket build -> FPGrowth fit
+-> size-2 projection), factored into ``_baskets`` / ``_freq_pairs`` so
+a parity or tie-break fix lands in exactly one place; they differ only
+in item projection, threshold form, and output bound.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.joins import _AFFINITY_ORACLE, MIN_SUPPORT
 from ..plans.registry import query
 from ..sources import load
+
+
+def _baskets(spark: SparkSession, sf_dir: str, item: Column) -> DataFrame:
+    """(l_orderkey, collect_set(item)) baskets over DISTINCT
+    (order, item) rows — one map-side-combinable groupBy."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", item.alias("item"))
+        .distinct()
+    )
+    return op.groupBy("l_orderkey").agg(F.collect_set("item").alias("items"))
+
+
+def _freq_pairs(baskets: DataFrame, min_support: float) -> DataFrame:
+    """FPGrowth fit projected to its size-2 itemsets as
+    (lo, hi, n_orders) with lo < hi via array_sort."""
+    from pyspark.ml.fpm import FPGrowth
+
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.5
+    ).fit(baskets)
+    pairs = model.freqItemsets.filter(F.size("items") == 2).select(
+        F.array_sort("items").alias("pair"), F.col("freq").alias("n_orders")
+    )
+    return pairs.select(
+        F.col("pair")[0].alias("lo"), F.col("pair")[1].alias("hi"), "n_orders"
+    )
 
 
 @query("fpgrowth_pair_itemsets", oracle=_AFFINITY_ORACLE, tags=("ML", "affinity"))
@@ -27,24 +59,10 @@ def fpgrowth_pair_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count - 0.5)/n makes the internal ceil() land on the integer
     count regardless of basket cardinality, so the oracle threshold
     and the model threshold cannot drift apart."""
-    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("items"))
+    baskets = _baskets(spark, sf_dir, F.col("l_partkey"))
     n_baskets = baskets.count()
-
-    from pyspark.ml.fpm import FPGrowth
-
-    model = FPGrowth(
-        itemsCol="items",
-        minSupport=(MIN_SUPPORT - 0.5) / n_baskets,
-        minConfidence=0.5,
-    ).fit(baskets)
-    pairs = model.freqItemsets.filter(F.size("items") == 2).select(
-        F.array_sort("items").alias("pair"), F.col("freq").alias("n_orders")
-    )
-    return pairs.select(
-        F.col("pair")[0].alias("part_a"),
-        F.col("pair")[1].alias("part_b"),
-        "n_orders",
+    return _freq_pairs(baskets, (MIN_SUPPORT - 0.5) / n_baskets).select(
+        F.col("lo").alias("part_a"), F.col("hi").alias("part_b"), "n_orders"
     )
 
 
@@ -54,35 +72,52 @@ def fpgrowth_pair_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: can never disagree on the threshold).
 FRACTION_DENOM = 8192
 
-#: Output bound for the scale twin — top-k pairs by support with a full
+#: Output bound for the scale twins — top-k pairs by support with a full
 #: deterministic tie-break, so the result is exact and bounded at any n.
 TOP_K_PAIRS = 25
 
-_FRACTION_TOPK_ORACLE = f"""
+
+def _fraction_topk_oracle(item_expr: str, a: str, b: str, denom: int) -> str:
+    """Shared DuckDB oracle for the fraction-threshold top-k twins:
+    DISTINCT (order, item) pair self-join thresholded at
+    CEIL(n_baskets / denom), deterministically top-{TOP_K_PAIRS}."""
+    return f"""
 WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  SELECT DISTINCT l_orderkey, {item_expr} AS item FROM lineitem
 ),
 n AS (
   SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op
 ),
 pairs AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+  SELECT a.item AS {a}, b.item AS {b},
          CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
   GROUP BY 1, 2
 )
-SELECT part_a, part_b, n_orders
+SELECT {a}, {b}, n_orders
 FROM pairs, n
-WHERE n_orders >= CEIL(CAST(n_baskets AS DOUBLE) / {FRACTION_DENOM})
-ORDER BY n_orders DESC, part_a, part_b
+WHERE n_orders >= CEIL(CAST(n_baskets AS DOUBLE) / {denom})
+ORDER BY n_orders DESC, {a}, {b}
 LIMIT {TOP_K_PAIRS}
 """
 
 
+def _fraction_topk(
+    spark: SparkSession, sf_dir: str, item: Column, a: str, b: str, denom: int
+) -> DataFrame:
+    """Spark twin of :func:`_fraction_topk_oracle`."""
+    pairs = _freq_pairs(_baskets(spark, sf_dir, item), 1.0 / denom)
+    return (
+        pairs.select(F.col("lo").alias(a), F.col("hi").alias(b), "n_orders")
+        .orderBy(F.desc("n_orders"), a, b)
+        .limit(TOP_K_PAIRS)
+    )
+
+
 @query(
     "fpgrowth_topk_fraction_support",
-    oracle=_FRACTION_TOPK_ORACLE,
+    oracle=_fraction_topk_oracle("l_partkey", "part_a", "part_b", FRACTION_DENOM),
     tags=("ML", "affinity"),
 )
 def fpgrowth_topk_fraction_support(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,28 +137,11 @@ def fpgrowth_topk_fraction_support(spark: SparkSession, sf_dir: str) -> DataFram
     fraction threshold overtakes the signal above sf0.01 and the tail
     empties — the production 100 TB scenario is the opposite (fixed
     vocabulary, support grows with data), which is exactly when the
-    fixed-count form dies and this form stays bounded."""
-    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("items"))
-
-    from pyspark.ml.fpm import FPGrowth
-
-    model = FPGrowth(
-        itemsCol="items",
-        minSupport=1.0 / FRACTION_DENOM,
-        minConfidence=0.5,
-    ).fit(baskets)
-    pairs = model.freqItemsets.filter(F.size("items") == 2).select(
-        F.array_sort("items").alias("pair"), F.col("freq").alias("n_orders")
-    )
-    return (
-        pairs.select(
-            F.col("pair")[0].alias("part_a"),
-            F.col("pair")[1].alias("part_b"),
-            "n_orders",
-        )
-        .orderBy(F.desc("n_orders"), "part_a", "part_b")
-        .limit(TOP_K_PAIRS)
+    fixed-count form dies and this form stays bounded. The
+    fixed-vocabulary regime itself is evidenced by
+    ``fpgrowth_fixed_vocab_topk`` below, whose tail stays non-empty."""
+    return _fraction_topk(
+        spark, sf_dir, F.col("l_partkey"), "part_a", "part_b", FRACTION_DENOM
     )
 
 
@@ -150,40 +168,21 @@ VOCAB_MOD = 64
 #: (VOCAB_MOD=256 at 1/8192 is worst-of-both: 32.6k frequent pairs, 90s.)
 VOCAB_FRACTION_DENOM = 512
 
-_FIXED_VOCAB_ORACLE = f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey % {VOCAB_MOD} AS item FROM lineitem
-),
-n AS (
-  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op
-),
-pairs AS (
-  SELECT a.item AS item_a, b.item AS item_b,
-         CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
-  GROUP BY 1, 2
-)
-SELECT item_a, item_b, n_orders
-FROM pairs, n
-WHERE n_orders >= CEIL(CAST(n_baskets AS DOUBLE) / {VOCAB_FRACTION_DENOM})
-ORDER BY n_orders DESC, item_a, item_b
-LIMIT {TOP_K_PAIRS}
-"""
-
 
 @query(
     "fpgrowth_fixed_vocab_topk",
-    oracle=_FIXED_VOCAB_ORACLE,
+    oracle=_fraction_topk_oracle(
+        f"l_partkey % {VOCAB_MOD}", "item_a", "item_b", VOCAB_FRACTION_DENOM
+    ),
     tags=("ML", "affinity"),
 )
 def fpgrowth_fixed_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-regime variant of ``fpgrowth_topk_fraction_support``:
     the same shape (fraction threshold, here 1/{VOCAB_FRACTION_DENOM}
-    of baskets — see the A/B at VOCAB_FRACTION_DENOM for why denser
-    vocabulary needs a tighter fraction) and
-    deterministic top-{TOP_K_PAIRS} output bound, but mining over the
-    bounded ``l_partkey % {VOCAB_MOD}`` item projection so the fixtures
+    of baskets — see the A/B at VOCAB_FRACTION_DENOM for why a denser
+    vocabulary needs a tighter fraction) and deterministic
+    top-{TOP_K_PAIRS} output bound, but mining over the bounded
+    ``l_partkey % {VOCAB_MOD}`` item projection so the fixtures
     reproduce the production fixed-vocabulary regime — support per item
     grows with data instead of staying flat while the catalog grows.
     The frequent tail is non-empty at sf0.01 through sf1, so the twin's
@@ -194,29 +193,11 @@ def fpgrowth_fixed_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FP-growth's per-partition conditional trees are over a 64-symbol
     alphabet with baskets of <= 7 items, so the itemset lattice is
     bounded regardless of n; the top-k is a TakeOrderedAndProject."""
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", (F.col("l_partkey") % VOCAB_MOD).alias("item"))
-        .distinct()
-    )
-    baskets = op.groupBy("l_orderkey").agg(F.collect_set("item").alias("items"))
-
-    from pyspark.ml.fpm import FPGrowth
-
-    model = FPGrowth(
-        itemsCol="items",
-        minSupport=1.0 / VOCAB_FRACTION_DENOM,
-        minConfidence=0.5,
-    ).fit(baskets)
-    pairs = model.freqItemsets.filter(F.size("items") == 2).select(
-        F.array_sort("items").alias("pair"), F.col("freq").alias("n_orders")
-    )
-    return (
-        pairs.select(
-            F.col("pair")[0].alias("item_a"),
-            F.col("pair")[1].alias("item_b"),
-            "n_orders",
-        )
-        .orderBy(F.desc("n_orders"), "item_a", "item_b")
-        .limit(TOP_K_PAIRS)
+    return _fraction_topk(
+        spark,
+        sf_dir,
+        F.col("l_partkey") % VOCAB_MOD,
+        "item_a",
+        "item_b",
+        VOCAB_FRACTION_DENOM,
     )

@@ -564,9 +564,14 @@ def ml_als_recommend_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     users' held-out 40%, top-TOPK_RECS hit rate with the train-side
     anti-join — so the quality/cost trade is a two-row diff, except the
     60/40 split itself is a salted-hash predicate (not randomSplit,
-    which is partition-layout-dependent) so every scalar here is a pure
-    function of the data across cluster shapes. Rows-only check with
-    the r8-style audited determinism scalar."""
+    which is partition-layout-dependent), making train/test MEMBERSHIP
+    a pure function of the data across cluster shapes. (The fitted
+    factors are still floating-point accumulations whose order ALS
+    does not pin across layouts, so the downstream scalars are
+    layout-stable only to numerical noise — same property as the
+    anchor; what the hash split removes is the one discrete,
+    arbitrarily-large divergence source.) Rows-only check with the
+    r8-style audited determinism scalar."""
     r = cached_ratings(spark, sf_dir)
     sampled = r.filter(
         F.pmod(F.xxhash64(F.col("user_id")), F.lit(ALS_SAMPLE_MOD))

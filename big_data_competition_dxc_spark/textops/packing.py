@@ -186,12 +186,16 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_EPOCHS = 3
 HEAD_K = 10
 # Checksum modulus. Each term (rn % p) * (doc_id % p) % p stays < p, so the
-# term product fits int64 (p^2 < 2^63) and the running SUM only wraps past
-# ~9.2e9 rows per epoch in Spark's non-ANSI sum (DuckDB widens to HUGEINT
-# and both sides reduce % p before the final cast). Without the modulus the
-# raw SUM(rn * doc_id) grows ~N^2 and the two engines overflow differently
-# (DuckDB raises, Spark wraps) from ~15M documents — far inside the 100 TB
-# posture this module advertises.
+# term product fits int64 (p^2 < 2^63). Without the modulus the raw
+# SUM(rn * doc_id) grows ~N^2 and the two engines overflow differently
+# (DuckDB raises, Spark wraps) from ~15M documents. The modular form's own
+# cross-engine bound is Spark's 32-bit row_number (rn wraps at 2^31 rows
+# PER EPOCH, before the ~9.2e9-term sum-wrap of the non-ANSI long sum;
+# DuckDB's ROW_NUMBER is BIGINT throughout) — but a >2^31-row epoch would
+# never run THIS verification form at all: the per-epoch global
+# row_number is the fixture-scale oracle shape, and the production form
+# documented in the query docstring sorts shard-locally with no global
+# rank. The modulus fixes every corpus the verification form can reach.
 CHECKSUM_P = 1_000_000_007
 
 _EPOCH_SHUFFLE_ORACLE = f"""
@@ -223,7 +227,8 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids in order (the readable head) and sum(rank x doc_id) mod
     {CHECKSUM_P} over the ENTIRE permutation — a checksum the oracle
     can only match if every rank of every document agrees, not just
-    the head (modular so both engines agree at any corpus size; see
+    the head (modular so the two engines' overflow behavior can never
+    diverge within this form's reach; the binding limits are at
     CHECKSUM_P above).
 
     Scale note: the per-epoch global row_number is the VERIFICATION
