@@ -296,3 +296,64 @@ def test_connected_components_random_graphs(spark, raw_edges):
     nodes = spark.createDataFrame([(i,) for i in node_ids], "id bigint")
     got = {r["id"]: r["label"] for r in connected_components(nodes, edges).collect()}
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_loop_matches_oracle_on_random_corpora(spark, tmp_path_factory, words):
+    """The Spark merge loop and the chained-CTE DuckDB oracle must
+    produce identical merge tables AND final token rows on ARBITRARY
+    tiny corpora over {a,b} — runs ("aaa", self-adjacent exclusion),
+    ties (count DESC then pair ASC), sub-N_MERGES corpora (the
+    COALESCE-guarded degenerate passthrough), and 1-char words (the
+    len >= 2 filter) all land in this space."""
+    import pandas as pd
+
+    from big_data_competition_dxc_spark.textops.bpe_learn import (
+        N_MERGES,
+        _oracle_sql,
+        _run_merge_loop,
+    )
+
+    d = tmp_path_factory.mktemp("bpe_prop")
+    text = " ".join(words)
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [len(text)],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    merges, toks = _run_merge_loop(spark, str(d), N_MERGES)
+    spark_merges = [tuple(m) for m in merges]
+    spark_toks = sorted(
+        tuple(r)
+        for r in toks.select("w", "freq", "pos", "sym").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    sql = _oracle_sql(N_MERGES)
+    oracle_merges = [tuple(r) for r in con.execute(sql).fetchall()]
+    head = sql[: sql.index("\nSELECT * FROM (")]
+    oracle_toks = sorted(
+        tuple(r)
+        for r in con.execute(
+            head + f"\nSELECT w, freq, pos, sym FROM tok{N_MERGES}"
+        ).fetchall()
+    )
+    con.close()
+    assert spark_merges == oracle_merges
+    assert spark_toks == oracle_toks
