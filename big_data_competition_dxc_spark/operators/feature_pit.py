@@ -50,6 +50,62 @@ from ..plans.registry import query
 from ..sources import load
 
 
+def pit_enrich_frames(
+    labels: DataFrame, clicks: DataFrame, spend: DataFrame
+) -> DataFrame:
+    """The PIT assembly itself, over arbitrary frames — exposed so the
+    operator is reusable beyond the fixture query and so the
+    random-timeline property test (tests/test_properties.py) can pin
+    its semantics against a brute-force spec.
+
+    Inputs (one row per (user_id, t) in each feature frame — the
+    determinism contract from the module docstring):
+      labels  (user_id, t, event_id)
+      clicks  (user_id, t, click_n)
+      spend   (user_id, t, day_spend)
+    Output: one row per label with clicks_before (running SUM of
+    strictly-earlier click_n, 0 if none) and spend_before (latest
+    strictly-earlier day_spend, NULL if none)."""
+    lbl = labels.select(
+        "user_id",
+        "t",
+        F.lit(0).alias("tag"),  # labels sort BEFORE same-day features: strict <
+        "event_id",
+        F.lit(None).cast("bigint").alias("click_n"),
+        F.lit(None).cast("double").alias("day_spend"),
+    )
+    ca = clicks.select(
+        "user_id", "t", F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("click_n").cast("bigint").alias("click_n"),
+        F.lit(None).cast("double").alias("day_spend"),
+    )
+    sa = spend.select(
+        "user_id", "t", F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("bigint").alias("click_n"),
+        F.col("day_spend").cast("double").alias("day_spend"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        lbl.unionByName(ca)
+        .unionByName(sa)
+        .withColumn("clicks_before", F.sum("click_n").over(w))
+        .withColumn("spend_before", F.last("day_spend", ignorenulls=True).over(w))
+    )
+    return carried.filter(F.col("tag") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("label_ds"),
+        F.coalesce(F.col("clicks_before"), F.lit(0)).cast("bigint").alias("clicks_before"),
+        "spend_before",
+    )
+
+
 @query(
     "pit_feature_join",
     oracle=f"""
@@ -86,23 +142,13 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL spend / zero clicks when no feature row precedes the label."""
     ev = load(spark, sf_dir, "events")
 
-    lbl = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.to_date("ts").alias("t"),
-        F.lit(0).alias("tag"),  # labels sort BEFORE same-day features: strict <
-        "event_id",
-        F.lit(None).cast("bigint").alias("click_n"),
-        F.lit(None).cast("double").alias("day_spend"),
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("t"), "event_id"
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", F.to_date("ts").alias("t"))
         .agg(F.count("*").alias("click_n"))
-        .select(
-            "user_id", "t", F.lit(1).alias("tag"),
-            F.lit(None).cast("bigint").alias("event_id"),
-            "click_n", F.lit(None).cast("double").alias("day_spend"),
-        )
     )
     spend = (
         load(spark, sf_dir, "orders")
@@ -111,28 +157,5 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("t"),
         )
         .agg(fixed_sum(F.col("o_totalprice"), 2, 2).alias("day_spend"))
-        .select(
-            "user_id", "t", F.lit(1).alias("tag"),
-            F.lit(None).cast("bigint").alias("event_id"),
-            F.lit(None).cast("bigint").alias("click_n"), "day_spend",
-        )
     )
-
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = (
-        lbl.unionByName(clicks)
-        .unionByName(spend)
-        .withColumn("clicks_before", F.sum("click_n").over(w))
-        .withColumn("spend_before", F.last("day_spend", ignorenulls=True).over(w))
-    )
-    return carried.filter(F.col("tag") == 0).select(
-        "event_id",
-        "user_id",
-        F.col("t").alias("label_ds"),
-        F.coalesce(F.col("clicks_before"), F.lit(0)).cast("bigint").alias("clicks_before"),
-        "spend_before",
-    )
+    return pit_enrich_frames(labels, clicks, spend)

@@ -357,3 +357,65 @@ def test_bpe_loop_matches_oracle_on_random_corpora(spark, tmp_path_factory, word
     con.close()
     assert spark_merges == oracle_merges
     assert spark_toks == oracle_toks
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # labels: (user, day)
+        st.tuples(st.integers(0, 3), st.integers(1, 8)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.dictionaries(  # clicks: one row per (user, day) -> count
+        st.tuples(st.integers(0, 3), st.integers(1, 8)),
+        st.integers(1, 5),
+        max_size=10,
+    ),
+    st.dictionaries(  # spend: one row per (user, day) -> cents
+        st.tuples(st.integers(0, 3), st.integers(1, 8)),
+        st.integers(1, 10**6),
+        max_size=10,
+    ),
+)
+def test_pit_enrich_matches_bruteforce(spark, labels, clicks, spend):
+    """pit_enrich_frames vs a brute-force Python spec on random
+    timelines: clicks_before = sum of click_n at STRICTLY earlier days
+    (0 if none), spend_before = day_spend at the LATEST strictly
+    earlier day (None if none). Same-day features excluded (the
+    leakage rule), duplicate same-day labels, users with no features,
+    and feature-only users all land in this space."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from big_data_competition_dxc_spark.operators.feature_pit import (
+        pit_enrich_frames,
+    )
+
+    lbl_rows = [(u, d, i) for i, (u, d) in enumerate(labels)]
+    click_rows = [(u, d, n) for (u, d), n in clicks.items()]
+    spend_rows = [(u, d, c / 100.0) for (u, d), c in spend.items()]
+
+    ldf = spark.createDataFrame(lbl_rows, "user_id bigint, t int, event_id bigint")
+    cdf = (
+        spark.createDataFrame(click_rows, "user_id bigint, t int, click_n bigint")
+        if click_rows
+        else spark.createDataFrame([], "user_id bigint, t int, click_n bigint")
+    )
+    sdf = (
+        spark.createDataFrame(spend_rows, "user_id bigint, t int, day_spend double")
+        if spend_rows
+        else spark.createDataFrame([], "user_id bigint, t int, day_spend double")
+    )
+
+    got = {
+        r["event_id"]: (r["clicks_before"], r["spend_before"])
+        for r in pit_enrich_frames(ldf, cdf, sdf).collect()
+    }
+
+    expected = {}
+    for u, d, i in lbl_rows:
+        cb = sum(n for (u2, d2), n in clicks.items() if u2 == u and d2 < d)
+        earlier = [(d2, c) for (u2, d2), c in spend.items() if u2 == u and d2 < d]
+        sb = max(earlier)[1] / 100.0 if earlier else None
+        expected[i] = (cb, sb)
+
+    assert got == expected
