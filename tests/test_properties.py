@@ -419,3 +419,74 @@ def test_pit_enrich_matches_bruteforce(spark, labels, clicks, spend):
         expected[i] = (cb, sb)
 
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=3, max_size=6),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_minhash_verified_spec_on_random_corpora(spark, tmp_path_factory, docs):
+    """Spec (not algorithm-replay) properties of minhash_dedup_verified
+    on random tiny corpora over a 3-word pool (plus a forced exact
+    duplicate of doc 1):
+      1. no false positives: every reported pair's TRUE shingle-Jaccard
+         is >= the threshold;
+      2. reported jaccard values equal the brute-force value (rounded
+         with the shared cross-engine formula);
+      3. exact-duplicate texts are ALWAYS reported at 1.0 — identical
+         shingle sets collide in every band, the one recall guarantee
+         LSH makes unconditionally."""
+    import math
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.dedup.jaccard import (
+        JACCARD_THRESHOLD,
+        SHINGLE_WORDS,
+    )
+
+    plans.load_all()
+    texts = [" ".join(ws) for ws in docs] + [" ".join(docs[0])]
+    d = tmp_path_factory.mktemp("mh_prop")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in plans.QUERIES["minhash_dedup_verified"].fn(spark, str(d)).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + SHINGLE_WORDS])
+            for i in range(len(toks) - SHINGLE_WORDS + 1)
+        }
+
+    sh = {i + 1: shingles(t) for i, t in enumerate(texts)}
+    true_j = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                inter = len(sh[a] & sh[b])
+                true_j[(a, b)] = inter * 1.0 / (len(sh[a]) + len(sh[b]) - inter)
+
+    for pair, j in got.items():
+        assert true_j[pair] >= JACCARD_THRESHOLD  # no false positive
+        assert j == math.floor(true_j[pair] * 10000.0 + 0.5) / 10000.0
+
+    for pair, j in true_j.items():
+        if sh[pair[0]] == sh[pair[1]]:  # identical shingle sets
+            assert got.get(pair) == 1.0
