@@ -490,3 +490,132 @@ def test_minhash_verified_spec_on_random_corpora(spark, tmp_path_factory, docs):
     for pair, j in true_j.items():
         if sh[pair[0]] == sh[pair[1]]:  # identical shingle sets
             assert got.get(pair) == 1.0
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=6),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_simhash_pairs_exactly_match_bruteforce(spark, tmp_path_factory, docs):
+    """simhash_neardup_pairs is EXACT by construction (pigeonhole
+    chunk-bucketing has perfect recall within the Hamming threshold;
+    the verify step filters to the true distance), so on random tiny
+    corpora the reported pair set and every hamming value must EQUAL a
+    from-scratch Python recomputation of the published algorithm:
+    md5-token 48-bit hashing, +count/-count bit votes, strict sign
+    (tie -> 0 bit), pairwise popcount."""
+    import hashlib
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.dedup.simhash import (
+        HAMMING_THRESHOLD,
+        NUM_BITS,
+    )
+
+    plans.load_all()
+    texts = [" ".join(ws) for ws in docs] + [" ".join(docs[0])]
+    d = tmp_path_factory.mktemp("sh_prop")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in plans.QUERIES["simhash_neardup_pairs"].fn(spark, str(d)).collect()
+    }
+
+    def simhash(text):
+        counts = {}
+        for tok in text.split():
+            counts[tok] = counts.get(tok, 0) + 1
+        fp = 0
+        for j in range(NUM_BITS):
+            contrib = 0
+            for tok, cnt in counts.items():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+                contrib += cnt if (h >> j) & 1 else -cnt
+            if contrib > 0:
+                fp |= 1 << j
+        return fp
+
+    fps = {i + 1: simhash(t) for i, t in enumerate(texts)}
+    expected = {}
+    for a in fps:
+        for b in fps:
+            if a < b:
+                ham = bin(fps[a] ^ fps[b]).count("1")
+                if ham <= HAMMING_THRESHOLD:
+                    expected[(a, b)] = ham
+
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # events: (user, minute offset, cents)
+        st.tuples(st.integers(0, 2), st.integers(0, 120), st.integers(0, 10**4)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_sessionize_batch_matches_bruteforce(spark, tmp_path_factory, events):
+    """sessionize_batch vs a brute-force Python split on random
+    timelines over a minute grid (so gaps land EXACTLY on the
+    30-minute boundary with real probability — strictly-greater means
+    a gap of exactly 30min does NOT split). Duplicate timestamps per
+    user and single-event sessions land in this space too."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.streaming.sessionize import GAP_MINUTES
+
+    plans.load_all()
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (u, base + dt.timedelta(minutes=m), c / 100.0) for u, m, c in events
+    ]
+    d = tmp_path_factory.mktemp("sess_prop")
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in plans.QUERIES["sessionize_batch"].fn(spark, str(d)).collect()
+    )
+
+    expected = []
+    by_user = {}
+    for u, t, v in rows:
+        by_user.setdefault(u, []).append((t, v))
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: e[0])
+        sessions, cur = [], [evs[0]]
+        for e in evs[1:]:
+            if (e[0] - cur[-1][0]) > dt.timedelta(minutes=GAP_MINUTES):
+                sessions.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        sessions.append(cur)
+        for s in sessions:
+            cents = sum(int(round(v * 100)) for _, v in s)
+            expected.append((u, s[0][0], s[-1][0], len(s), cents / 100.0))
+    expected.sort()
+
+    assert got == expected
