@@ -619,3 +619,74 @@ def test_sessionize_batch_matches_bruteforce(spark, tmp_path_factory, events):
     expected.sort()
 
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(  # one reading per (user, minute offset) -> cents
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        st.integers(0, 10**4),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_linear_interpolation_matches_bruteforce(spark, tmp_path_factory, readings):
+    """linear_interpolate_hourly vs a brute-force Python spec on random
+    irregular timelines: per grid hour g, prev = latest reading at
+    t <= g, next = earliest reading at t > g (the (ts, is_grid) tie
+    rule: a reading ON a grid point brackets it from the left), edges
+    bfill/ffill, blend by exact microsecond fraction, shared rounding
+    formula. Single-reading users (pure bfill) land here too."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+
+    plans.load_all()
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (u, base + dt.timedelta(minutes=m), c / 100.0)
+        for (u, m), c in readings.items()
+    ]
+    d = tmp_path_factory.mktemp("interp_prop")
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+
+    got = {
+        (r["user_id"], r["ts"]): r["value_interp"]
+        for r in plans.QUERIES["linear_interpolate_hourly"].fn(spark, str(d)).collect()
+    }
+
+    expected = {}
+    by_user = {}
+    for u, t, v in rows:
+        by_user.setdefault(u, []).append((t, v))
+    hour = dt.timedelta(hours=1)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: e[0])
+        h0 = evs[0][0].replace(minute=0, second=0, microsecond=0)
+        h1 = evs[-1][0].replace(minute=0, second=0, microsecond=0)
+        g = h0
+        while g <= h1:
+            prev = [(t, v) for t, v in evs if t <= g]
+            nxt = [(t, v) for t, v in evs if t > g]
+            if not prev:
+                val = nxt[0][1]
+            elif not nxt:
+                val = prev[-1][1]
+            else:
+                pt, pv = prev[-1]
+                nt, nv = nxt[0]
+                # exact integer microseconds, divided once — the same
+                # IEEE operation the engine performs; total_seconds()
+                # would pre-divide each side by 1e6 and can differ by
+                # an ulp, flipping the 6dp rounding on a boundary
+                num = (g - pt) // dt.timedelta(microseconds=1)
+                den = (nt - pt) // dt.timedelta(microseconds=1)
+                val = pv + (nv - pv) * (num / den)
+            expected[(u, g)] = math.floor(val * 1000000.0 + 0.5) / 1000000.0
+            g += hour
+    assert got == expected
