@@ -690,3 +690,59 @@ def test_linear_interpolation_matches_bruteforce(spark, tmp_path_factory, readin
             expected[(u, g)] = math.floor(val * 1000000.0 + 0.5) / 1000000.0
             g += hour
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(  # (user, day offset) -> events that day
+        st.tuples(st.integers(0, 2), st.integers(0, 12)),
+        st.integers(1, 3),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_rolling_median_matches_bruteforce(spark, tmp_path_factory, daily):
+    """rolling_median_7d vs brute force on random sparse calendars: the
+    frame is ROWS over the user's PRESENT days (a missing day does not
+    consume a slot — the subtle difference from a RANGE/calendar
+    reading), and the median is PERCENTILE_CONT's midpoint rule on the
+    sorted <= 7 counts. Even/odd frames and gap-heavy users land here."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+
+    plans.load_all()
+    base = dt.datetime(2024, 3, 1, 6, 0, 0)
+    rows = []
+    for (u, day), n in daily.items():
+        for i in range(n):
+            rows.append((u, base + dt.timedelta(days=day, minutes=i), 1.0))
+    d = tmp_path_factory.mktemp("med_prop")
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+
+    got = {
+        (r["user_id"], r["ds"]): (r["n_events"], r["med7"])
+        for r in plans.QUERIES["rolling_median_7d"].fn(spark, str(d)).collect()
+    }
+
+    expected = {}
+    by_user = {}
+    for (u, day), n in daily.items():
+        by_user.setdefault(u, []).append((day, n))
+    for u, days in by_user.items():
+        days.sort()
+        for i, (day, n) in enumerate(days):
+            frame = sorted(c for _, c in days[max(0, i - 6) : i + 1])
+            k = len(frame)
+            lo = frame[math.floor((k + 1) / 2.0) - 1]
+            hi = frame[math.ceil((k + 1) / 2.0) - 1]
+            med = (lo + hi) / 2.0
+            ds = (base + dt.timedelta(days=day)).date()
+            expected[(u, ds)] = (n, math.floor(med * 10000.0 + 0.5) / 10000.0)
+
+    assert got == expected
