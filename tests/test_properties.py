@@ -746,3 +746,92 @@ def test_rolling_median_matches_bruteforce(spark, tmp_path_factory, daily):
             expected[(u, ds)] = (n, math.floor(med * 10000.0 + 0.5) / 10000.0)
 
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # delta docs (ids 1..n, all < FIXED_DELTA_DOCS)
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=3, max_size=5),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(  # corpus docs (ids 100.., all >= FIXED_DELTA_DOCS)
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=3, max_size=5),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_incremental_dedup_spec_on_random_corpora(
+    spark, tmp_path_factory, delta_docs, corpus_docs
+):
+    """Sound spec properties of incremental_dedup_fixed_delta on random
+    split corpora (plus a forced exact duplicate of delta doc 1 planted
+    in the corpus):
+      1. a reported best_jaccard equals the TRUE shingle-Jaccard of
+         (doc, best_match) and clears the threshold;
+      2. a delta doc with NO corpus doc at true Jaccard >= threshold
+         must come back novel (0 matches, NULL best) — verification
+         filters by true Jaccard, so no candidate can survive;
+      3. a corpus doc with an IDENTICAL shingle set to a delta doc is
+         always found (banding recall is unconditional on equality), so
+         best_jaccard == 1.0 and n_corpus_matches counts it."""
+    import math
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.dedup.jaccard import (
+        JACCARD_THRESHOLD,
+        SHINGLE_WORDS,
+    )
+
+    plans.load_all()
+    delta = [" ".join(ws) for ws in delta_docs]
+    corpus = [" ".join(ws) for ws in corpus_docs] + [delta[0]]  # planted dup
+    ids = list(range(1, len(delta) + 1)) + list(range(100, 100 + len(corpus)))
+    texts = delta + corpus
+    d = tmp_path_factory.mktemp("inc_prop")
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_corpus_matches"], r["best_match"], r["best_jaccard"])
+        for r in plans.QUERIES["incremental_dedup_fixed_delta"]
+        .fn(spark, str(d))
+        .collect()
+    }
+    assert set(got) == set(range(1, len(delta) + 1))
+
+    def shingles(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + SHINGLE_WORDS])
+            for i in range(len(toks) - SHINGLE_WORDS + 1)
+        }
+
+    sh = dict(zip(ids, (shingles(t) for t in texts)))
+
+    def jac(a, b):
+        inter = len(sh[a] & sh[b])
+        return inter * 1.0 / (len(sh[a]) + len(sh[b]) - inter)
+
+    corpus_ids = [i for i in ids if i >= 100]
+    for did in range(1, len(delta) + 1):
+        n, best, bj = got[did]
+        true_close = [c for c in corpus_ids if jac(did, c) >= JACCARD_THRESHOLD]
+        if not true_close:
+            assert (n, best, bj) == (0, None, None)
+        if best is not None:
+            assert bj == math.floor(jac(did, best) * 10000.0 + 0.5) / 10000.0
+            assert jac(did, best) >= JACCARD_THRESHOLD
+        identical = [c for c in corpus_ids if sh[c] == sh[did]]
+        if identical:
+            assert bj == 1.0
+            assert n >= len(identical)
