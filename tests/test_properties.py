@@ -835,3 +835,87 @@ def test_incremental_dedup_spec_on_random_corpora(
         if identical:
             assert bj == 1.0
             assert n >= len(identical)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(  # (user, item) -> quantity
+        st.tuples(st.integers(0, 4), st.integers(0, 5)),
+        st.integers(1, 60),
+        min_size=2,
+        max_size=18,
+    )
+)
+def test_itemcf_neighbors_match_bruteforce(spark, tmp_path_factory, cells):
+    """itemcf_item_neighbors vs a from-scratch Python recomputation on
+    random ratings matrices: quantity -> clamped 1..5 rating, top-CAP
+    per user (rating DESC, item tie-break), cosine co/sqrt(ni*nj)
+    fixed to integer micro-units at the single float op, popularity
+    top-{N} query items, per-item top-{K} by (sim DESC, j). Pins the
+    entire scoring chain independently of the structural oracle."""
+    import math
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.ml.itemcf import (
+        K_NEIGHBORS,
+        MICRO,
+        N_QUERY_USERS,
+        USER_ITEM_CAP,
+    )
+
+    plans.load_all()
+    d = tmp_path_factory.mktemp("icf_prop")
+    users = sorted({u for u, _ in cells})
+    pd.DataFrame(
+        {"o_orderkey": users, "o_custkey": users}
+    ).astype("int64").to_parquet(d / "orders.parquet")
+    li = pd.DataFrame(
+        [(u, i, float(q)) for (u, i), q in cells.items()],
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li["l_orderkey"] = li["l_orderkey"].astype("int64")
+    li["l_partkey"] = li["l_partkey"].astype("int64")
+    li.to_parquet(d / "lineitem.parquet")
+
+    got = {
+        (r["item_id"], r["neighbor_id"]): (r["sim"], r["rn"])
+        for r in plans.QUERIES["itemcf_item_neighbors"].fn(spark, str(d)).collect()
+    }
+
+    # brute force: ratings -> cap -> pop/co -> micro sims -> top-k
+    rating = {
+        (u, i): min(5, max(1, math.floor(q / 10.0) + 1)) for (u, i), q in cells.items()
+    }
+    by_user = {}
+    for (u, i), rt in rating.items():
+        by_user.setdefault(u, []).append((-rt, i))
+    capped = set()
+    for u, its in by_user.items():
+        for _, i in sorted(its)[:USER_ITEM_CAP]:
+            capped.add((u, i))
+    pop = {}
+    for u, i in capped:
+        pop[i] = pop.get(i, 0) + 1
+    co = {}
+    for u, i in capped:
+        for u2, j in capped:
+            if u2 == u and j != i:
+                co[(i, j)] = co.get((i, j), 0) + 1
+    sim_u = {
+        (i, j): math.floor(c / math.sqrt(pop[i] * pop[j]) * float(MICRO) + 0.5)
+        for (i, j), c in co.items()
+    }
+    top_items = [i for i in sorted(pop, key=lambda i: (-pop[i], i))[:N_QUERY_USERS]]
+    expected = {}
+    for i in top_items:
+        nbrs = sorted(
+            ((j, s) for (i2, j), s in sim_u.items() if i2 == i),
+            key=lambda e: (-e[1], e[0]),
+        )
+        for rn, (j, s) in enumerate(nbrs[:K_NEIGHBORS], start=1):
+            disp = math.floor((s / float(MICRO)) * float(MICRO) + 0.5) / float(MICRO)
+            expected[(i, j)] = (disp, rn)
+
+    assert got == expected
