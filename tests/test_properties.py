@@ -919,3 +919,78 @@ def test_itemcf_neighbors_match_bruteforce(spark, tmp_path_factory, cells):
             expected[(i, j)] = (disp, rn)
 
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(  # (user 1..6, item 0..5) -> quantity
+        st.tuples(st.integers(1, 6), st.integers(0, 5)),
+        st.integers(1, 60),
+        min_size=3,
+        max_size=20,
+    )
+)
+def test_knn_user_neighbors_match_bruteforce(spark, tmp_path_factory, cells):
+    """knn_user_neighbors (the reference's core ML9 user-cosine) vs a
+    from-scratch Python recomputation on random ratings matrices: dot
+    products over the query users' items, FULL-vector norms (items
+    outside the query set still count in the denominator), 4dp rounded
+    similarity, per-user top-k by (sim DESC, neighbor ASC)."""
+    import math
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.ml.recommend import (
+        K_NEIGHBORS,
+        N_QUERY_USERS,
+    )
+
+    plans.load_all()
+    d = tmp_path_factory.mktemp("knn_prop")
+    users = sorted({u for u, _ in cells})
+    pd.DataFrame(
+        {"o_orderkey": users, "o_custkey": users}
+    ).astype("int64").to_parquet(d / "orders.parquet")
+    li = pd.DataFrame(
+        [(u, i, float(q)) for (u, i), q in cells.items()],
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li["l_orderkey"] = li["l_orderkey"].astype("int64")
+    li["l_partkey"] = li["l_partkey"].astype("int64")
+    li.to_parquet(d / "lineitem.parquet")
+
+    got = {
+        (r["user_id"], r["neighbor_id"]): (r["sim"], r["rn"])
+        for r in plans.QUERIES["knn_user_neighbors"].fn(spark, str(d)).collect()
+    }
+
+    rating = {
+        (u, i): float(min(5, max(1, math.floor(q / 10.0) + 1)))
+        for (u, i), q in cells.items()
+    }
+    qusers = [u for u in users if u <= N_QUERY_USERS]
+    qitems = {i for (u, i) in rating if u in qusers}
+    norm = {
+        u: math.sqrt(sum(r * r for (u2, _), r in rating.items() if u2 == u))
+        for u in users
+    }
+    expected = {}
+    for u in qusers:
+        sims = []
+        for v in users:
+            if v == u:
+                continue
+            dp = sum(
+                rating[(u, i)] * rating[(v, i)]
+                for i in qitems
+                if (u, i) in rating and (v, i) in rating
+            )
+            if dp:
+                s = dp / (norm[u] * norm[v])
+                sims.append((v, math.floor(s * 10000.0 + 0.5) / 10000.0))
+        sims.sort(key=lambda e: (-e[1], e[0]))
+        for rn, (v, s) in enumerate(sims[:K_NEIGHBORS], start=1):
+            expected[(u, v)] = (s, rn)
+
+    assert got == expected
