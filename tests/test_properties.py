@@ -994,3 +994,75 @@ def test_knn_user_neighbors_match_bruteforce(spark, tmp_path_factory, cells):
             expected[(u, v)] = (s, rn)
 
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["spark", "join", "stream", "etl", "sql"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bm25_matches_bruteforce(spark, tmp_path_factory, docs):
+    """bm25_topk_docs vs a from-scratch Okapi BM25 (k1=1.2, b=0.75) on
+    random tiny corpora mixing query and non-query terms: per-term tf,
+    document length, df over the corpus, avgdl, the
+    ln((N-df+.5)/(df+.5)+1) idf, the length-normalized tf saturation,
+    4dp-rounded sum, global rank with doc_id tie-break."""
+    import math
+
+    import pandas as pd
+
+    from big_data_competition_dxc_spark import plans
+    from big_data_competition_dxc_spark.textops.relevance import (
+        B,
+        K1,
+        QUERY_TERMS,
+        TOP_K,
+    )
+
+    plans.load_all()
+    texts = [" ".join(ws) for ws in docs]
+    d = tmp_path_factory.mktemp("bm25_prop")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in plans.QUERIES["bm25_topk_docs"].fn(spark, str(d)).collect()
+    }
+
+    toks = {i + 1: t.split() for i, t in enumerate(texts)}
+    n_docs = len(toks)
+    dl = {i: len(ws) for i, ws in toks.items()}
+    avgdl = sum(dl.values()) * 1.0 / n_docs
+    df = {}
+    for ws in toks.values():
+        for term in set(ws):
+            df[term] = df.get(term, 0) + 1
+    totals = {}
+    for i, ws in toks.items():
+        score = 0.0
+        for q in QUERY_TERMS:
+            tf = ws.count(q)
+            if tf:
+                idf = math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1)
+                score += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl[i] / avgdl))
+        if score:
+            totals[i] = math.floor(score * 10000.0 + 0.5) / 10000.0
+    ranked = sorted(totals.items(), key=lambda e: (-e[1], e[0]))[:TOP_K]
+    expected = {i: (s, rn) for rn, (i, s) in enumerate(ranked, start=1)}
+
+    assert got == expected
