@@ -129,6 +129,11 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.history",
         "big_data_competition_dxc_spark.operators.audit",
         "big_data_competition_dxc_spark.ml.fpm",
+        # --- round-12 additions (never yet in a driver window) ---
+        "big_data_competition_dxc_spark.dedup.spans",
+        "big_data_competition_dxc_spark.similarity.semdedup",
+        "big_data_competition_dxc_spark.operators.lateral",
+        "big_data_competition_dxc_spark.textops.dsir",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

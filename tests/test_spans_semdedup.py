@@ -1,0 +1,217 @@
+"""Round-12 session-4 additions: span-level exact-substring dedup,
+SemDeDup semantic dedup, and the LATERAL SQL surface — each pinned
+against an INDEPENDENT recomputation (pure-Python brute force / a
+different Spark plan), not just the DuckDB oracle replay that
+tests/test_oracle_parity.py already runs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from big_data_competition_dxc_spark import plans
+from big_data_competition_dxc_spark.dedup.spans import HOTSPOT_TOP_K, SPAN_TOKENS
+from big_data_competition_dxc_spark.similarity.semdedup import SEM_BITS, SEM_TAU
+
+from conftest import SF_TEST_DIR
+
+plans.load_all()
+
+
+def _df(name, spark):
+    return plans.QUERIES[name].fn(spark, SF_TEST_DIR)
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _brute_spans(duck):
+    """Pure-Python span table: doc_id -> list of md5 k-gram fps."""
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in rows:
+        words = re.sub(r"\s+", " ", text.strip()).split(" ")
+        fps = [
+            hashlib.md5(
+                " ".join(words[i : i + SPAN_TOKENS]).encode()
+            ).hexdigest()
+            for i in range(len(words) - SPAN_TOKENS + 1)
+        ]
+        per_doc[doc_id] = fps
+    return per_doc
+
+
+def test_substring_span_dedup_matches_bruteforce(spark, duck):
+    per_doc = _brute_spans(duck)
+    fp_docs: dict[str, set[int]] = defaultdict(set)
+    for doc_id, fps in per_doc.items():
+        for fp in fps:
+            fp_docs[fp].add(doc_id)
+    dup_fps = {fp for fp, docs in fp_docs.items() if len(docs) >= 2}
+    expected = {}
+    for doc_id, fps in per_doc.items():
+        if not fps:  # sub-SPAN_TOKENS docs contribute no rows
+            continue
+        dup_occ = sum(1 for fp in fps if fp in dup_fps)
+        dup_distinct = len({fp for fp in fps if fp in dup_fps})
+        expected[doc_id] = (
+            len(fps),
+            dup_occ,
+            dup_distinct,
+            _round4(dup_occ / len(fps)),
+        )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_occ"], r["n_dup_fps"], r["dup_frac"])
+        for r in _df("substring_span_dedup", spark).collect()
+    }
+    assert got == expected
+    # the fixture must actually exercise the duplicated branch
+    assert any(v[1] > 0 for v in expected.values())
+
+
+def test_span_hotspots_match_bruteforce(spark, duck):
+    per_doc = _brute_spans(duck)
+    n_docs: Counter = Counter()
+    n_occ: Counter = Counter()
+    seen_doc: dict[str, set[int]] = defaultdict(set)
+    for doc_id, fps in per_doc.items():
+        for fp in fps:
+            n_occ[fp] += 1
+            seen_doc[fp].add(doc_id)
+    for fp, docs in seen_doc.items():
+        n_docs[fp] = len(docs)
+    dup = [(fp, n_docs[fp], n_occ[fp]) for fp in n_occ if n_docs[fp] >= 2]
+    dup.sort(key=lambda t: (-t[1], -t[2], t[0]))
+    expected = [
+        (fp, nd, no, i + 1) for i, (fp, nd, no) in enumerate(dup[:HOTSPOT_TOP_K])
+    ]
+    got = [
+        (r["fp"], r["n_docs"], r["n_occ"], r["rn"])
+        for r in _df("substring_span_hotspots", spark).orderBy("rn").collect()
+    ]
+    assert got == expected
+
+
+def test_semantic_dedup_matches_bruteforce(spark, duck):
+    vecs = dict(duck.sql("SELECT vec_id, embedding FROM embeddings").fetchall())
+    # sign-bit buckets and min-id keepers, recomputed from scratch
+    bucket = {
+        vid: "".join("1" if float(v[i]) >= 0 else "0" for i in range(SEM_BITS))
+        for vid, v in vecs.items()
+    }
+    keeper: dict[str, int] = {}
+    for vid, b in bucket.items():
+        keeper[b] = min(keeper.get(b, vid), vid)
+
+    def cos(a, b):
+        a = [float(x) for x in a]
+        b = [float(x) for x in b]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    rows = _df("semantic_dedup_keep", spark).collect()
+    assert sorted(r["vec_id"] for r in rows) == sorted(vecs)  # each vec once
+    for r in rows:
+        assert r["bucket"] == bucket[r["vec_id"]]
+        assert r["keeper_vec_id"] == keeper[r["bucket"]]
+        expect_cos = _round4(cos(vecs[r["vec_id"]], vecs[r["keeper_vec_id"]]))
+        # Python's left-to-right float sum IS the engines' index-order
+        # fold, so agreement is exact after shared rounding
+        assert r["cos_to_keeper"] == expect_cos
+        expect_pruned = int(
+            r["vec_id"] != r["keeper_vec_id"] and expect_cos >= SEM_TAU
+        )
+        assert r["pruned"] == expect_pruned
+        if r["vec_id"] == r["keeper_vec_id"]:
+            assert r["cos_to_keeper"] == 1.0 and r["pruned"] == 0
+    # the threshold must exercise both branches on the fixture
+    flags = {r["pruned"] for r in rows}
+    assert flags == {0, 1}
+
+
+def test_dsir_weights_match_bruteforce(spark, duck):
+    """Recompute the DSIR log-ratio from scratch in Python: md5-hash
+    bucketing, add-one smoothing, per-bucket 1e-4 unit rounding, exact
+    integer per-doc sums — the full fixed-point contract."""
+    from big_data_competition_dxc_spark.textops.dsir import (
+        N_BUCKETS,
+        TARGET_LANG,
+        _UNIT,
+    )
+
+    rows = duck.sql("SELECT doc_id, lang, text FROM documents").fetchall()
+    src_cnt: Counter = Counter()
+    tgt_cnt: Counter = Counter()
+    doc_buckets: dict[int, list[int]] = {}
+    for doc_id, lang, text in rows:
+        bs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % N_BUCKETS
+            for t in text.strip().lower().split(" ")
+        ]
+        doc_buckets[doc_id] = bs
+        for b in bs:
+            src_cnt[b] += 1
+            if lang == TARGET_LANG:
+                tgt_cnt[b] += 1
+    src_tot = sum(src_cnt.values())
+    tgt_tot = sum(tgt_cnt.values())
+    units = {
+        b: math.floor(
+            (
+                math.log((tgt_cnt[b] + 1.0) / (tgt_tot + float(N_BUCKETS)))
+                - math.log((src_cnt[b] + 1.0) / (src_tot + float(N_BUCKETS)))
+            )
+            * _UNIT
+            + 0.5
+        )
+        for b in src_cnt
+    }
+    expected = {
+        doc_id: (
+            len(bs),
+            math.floor(sum(units[b] for b in bs) / float(_UNIT) * 10000.0 + 0.5)
+            / 10000.0,
+        )
+        for doc_id, bs in doc_buckets.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in _df("dsir_importance_weights", spark).collect()
+    }
+    assert got == expected
+    # the target slice must score higher on average than the rest —
+    # the method's defining property on any non-degenerate fixture
+    lang_of = {doc_id: lang for doc_id, lang, _ in rows}
+    tgt_scores = [v[1] for k, v in got.items() if lang_of[k] == TARGET_LANG]
+    other = [v[1] for k, v in got.items() if lang_of[k] != TARGET_LANG]
+    assert sum(tgt_scores) / len(tgt_scores) > sum(other) / len(other)
+
+
+def test_lateral_topk_matches_window_plan(spark):
+    """The LATERAL decorrelation and an explicit ranked-window plan are
+    two routes to the same rows."""
+    from pyspark.sql import Window
+
+    from big_data_competition_dxc_spark.operators.lateral import LATERAL_TOP_K
+    from big_data_competition_dxc_spark.sources import load
+
+    lat = _df("lateral_topk_per_nation", spark)
+    cust = load(spark, SF_TEST_DIR, "customer")
+    nation = load(spark, SF_TEST_DIR, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ref = (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LATERAL_TOP_K)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+    )
+    assert sorted(map(tuple, lat.collect())) == sorted(map(tuple, ref.collect()))
