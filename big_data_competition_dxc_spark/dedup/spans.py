@@ -12,16 +12,16 @@ records to sub-document spans.
 
 Scale path (100 TB): the span table is token-count-sized — one row per
 k-gram, produced scan-side by a JVM ``transform``+``explode`` with no
-Python in the loop. Everything downstream is keyed on the 128-bit md5
-fingerprint: one hash-shuffle for the per-fingerprint document counts
-(two-phase, map-side partial aggregation), then an inner join of the
-span table against the (small, duplicated-only) fingerprint set — never
-a pair join, never the text payload past the first projection. Ultra-
-common boilerplate spans skew the fingerprint key; AQE skew-join
-handles the shuffle and the count-distinct is a (fp, doc_id) partial
-distinct, so no single reducer sees a hot key's full occurrence list.
-In production the md5 would drop to a 64-bit xxhash to halve shuffle
-width; md5 keeps the DuckDB oracle byte-identical here.
+Python in the loop — and it shuffles exactly ONCE, into a (fp, doc_id,
+occurrences) pre-aggregation with map-side combine. Every downstream
+quantity (document reach, duplicated-fingerprint set, per-doc coverage)
+is a plain count/sum over that pair table, so no COUNT DISTINCT ever
+Expands the raw spans (measured 1.5x at sf1) and no single reducer sees
+a hot boilerplate key's full occurrence list — the pair table bounds a
+hot fp to one row per touching document, and AQE skew-join covers the
+dup-set join. Never a pair join, never the text payload past the first
+projection. In production the md5 would drop to a 64-bit xxhash to
+halve shuffle width; md5 keeps the DuckDB oracle byte-identical here.
 """
 
 from __future__ import annotations
@@ -107,20 +107,29 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity exact-substring dedup would remove. Docs shorter than
     {SPAN_TOKENS} tokens contribute no spans and drop out (matching the
     empty range() on the oracle side)."""
-    spans = span_fingerprints(spark, sf_dir)
+    # Pre-aggregate to (fp, doc_id, occurrences) FIRST: the raw span
+    # table shuffles exactly once, and every downstream count-distinct
+    # becomes a plain count over the pair table — no Expand doubling
+    # (a mixed COUNT + COUNT DISTINCT agg would Expand the full span
+    # table; measured 1.5x slower at sf1).
+    pairs = (
+        span_fingerprints(spark, sf_dir)
+        .groupBy("fp", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
     dup_fps = (
-        spans.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        pairs.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .select("fp")
     )
-    per_doc = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    per_doc = pairs.groupBy("doc_id").agg(F.sum("c").alias("n_spans"))
     per_dup = (
-        spans.join(dup_fps, "fp")
+        pairs.join(dup_fps, "fp")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_dup_occ"),
-            F.countDistinct("fp").alias("n_dup_fps"),
+            F.sum("c").alias("n_dup_occ"),
+            F.count("*").alias("n_dup_fps"),
         )
     )
     n_dup_occ = F.coalesce("n_dup_occ", F.lit(0))
@@ -161,12 +170,16 @@ def substring_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not the corpus."""
     from pyspark.sql import Window
 
+    # Same (fp, doc_id) pre-aggregation as substring_span_dedup: the
+    # distinct-doc reach is a plain COUNT over the pair table.
     per_fp = (
         span_fingerprints(spark, sf_dir)
+        .groupBy("fp", "doc_id")
+        .agg(F.count("*").alias("c"))
         .groupBy("fp")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_occ"),
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("n_occ"),
         )
         .filter(F.col("n_docs") >= 2)
     )
