@@ -11,6 +11,8 @@ import math
 import re
 from collections import Counter, defaultdict
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from big_data_competition_dxc_spark import plans
@@ -215,3 +217,194 @@ def test_lateral_topk_matches_window_plan(spark):
         .select("n_name", "c_custkey", "c_acctbal")
     )
     assert sorted(map(tuple, lat.collect())) == sorted(map(tuple, ref.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Randomized property net (session-3 style): the same specs on ARBITRARY
+# corpora, reaching the degenerate regimes the fixture can't — docs at
+# or below the span width, single-bucket vector sets, corpora with zero
+# or all target-language docs.
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["a", "b", "c"])
+_doc = st.lists(_word, min_size=1, max_size=12)
+
+
+def _write_docs(tmp_path_factory, docs, langs=None):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("prop")
+    texts = [" ".join(ws) for ws in docs]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": texts,
+            "lang": langs if langs is not None else ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_span_dedup_spec_on_random_corpora(spark, tmp_path_factory, docs):
+    """Over a 3-word vocabulary almost every 8-gram duplicates, and
+    doc lengths straddle SPAN_TOKENS — so both the everything-dup and
+    the no-spans-at-all regimes occur. The Spark result must equal the
+    from-scratch spec exactly (including docs with len == SPAN_TOKENS
+    yielding one span, and shorter docs absent)."""
+    sf = _write_docs(tmp_path_factory, docs)
+    fp_docs = defaultdict(set)
+    per_doc = {}
+    for doc_id, ws in enumerate(docs):
+        fps = [
+            hashlib.md5(" ".join(ws[i : i + SPAN_TOKENS]).encode()).hexdigest()
+            for i in range(len(ws) - SPAN_TOKENS + 1)
+        ]
+        per_doc[doc_id] = fps
+        for fp in fps:
+            fp_docs[fp].add(doc_id)
+    dup = {fp for fp, ds in fp_docs.items() if len(ds) >= 2}
+    expected = {}
+    for doc_id, fps in per_doc.items():
+        if not fps:
+            continue
+        occ = sum(1 for fp in fps if fp in dup)
+        expected[doc_id] = (
+            len(fps),
+            occ,
+            len({fp for fp in fps if fp in dup}),
+            _round4(occ / len(fps)),
+        )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_occ"], r["n_dup_fps"], r["dup_frac"])
+        for r in plans.QUERIES["substring_span_dedup"].fn(spark, sf).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0).map(
+                lambda x: x if abs(x) > 1e-3 else 0.25
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_semantic_dedup_spec_on_random_vectors(spark, tmp_path_factory, vecs):
+    """Random 8-dim vector sets (every component non-tiny, so norms are
+    never zero and sign boundaries are stable): buckets, keepers, the
+    index-order-fold cosine, and prune flags must match the from-scratch
+    spec — including singleton buckets and the all-in-one-bucket case."""
+    import pandas as pd
+
+    from big_data_competition_dxc_spark.similarity.semdedup import (
+        semantic_dedup_keep,
+    )
+
+    d = tmp_path_factory.mktemp("sem_prop")
+    pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": vecs,
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(d / "embeddings.parquet")
+
+    bucket = {
+        i: "".join("1" if v[j] >= 0 else "0" for j in range(SEM_BITS))
+        for i, v in enumerate(vecs)
+    }
+    keeper = {}
+    for i, b in bucket.items():
+        keeper[b] = min(keeper.get(b, i), i)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    rows = semantic_dedup_keep(spark, str(d)).collect()
+    assert sorted(r["vec_id"] for r in rows) == list(range(len(vecs)))
+    for r in rows:
+        assert r["bucket"] == bucket[r["vec_id"]]
+        assert r["keeper_vec_id"] == keeper[r["bucket"]]
+        expect = _round4(cos(vecs[r["vec_id"]], vecs[r["keeper_vec_id"]]))
+        assert r["cos_to_keeper"] == expect
+        assert r["pruned"] == int(
+            r["vec_id"] != r["keeper_vec_id"] and expect >= SEM_TAU
+        )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(_doc, st.sampled_from(["en", "xx"])),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dsir_spec_on_random_corpora(spark, tmp_path_factory, corpus):
+    """Random corpora including ZERO-target and ALL-target language
+    mixes (the fixture always has both): the hashed-model likelihood
+    ratio with add-one smoothing must match the from-scratch spec in
+    every regime — with no target docs, every bucket's target model is
+    the uniform prior and weights are still finite."""
+    from big_data_competition_dxc_spark.textops.dsir import (
+        N_BUCKETS,
+        TARGET_LANG,
+        _UNIT,
+        dsir_importance_weights,
+    )
+
+    docs = [ws for ws, _ in corpus]
+    langs = [lang for _, lang in corpus]
+    sf = _write_docs(tmp_path_factory, docs, langs)
+
+    src_cnt: Counter = Counter()
+    tgt_cnt: Counter = Counter()
+    doc_buckets = {}
+    for doc_id, (ws, lang) in enumerate(corpus):
+        bs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % N_BUCKETS
+            for w in ws
+        ]
+        doc_buckets[doc_id] = bs
+        for b in bs:
+            src_cnt[b] += 1
+            if lang == TARGET_LANG:
+                tgt_cnt[b] += 1
+    src_tot = sum(src_cnt.values())
+    tgt_tot = sum(tgt_cnt.values())
+    units = {
+        b: math.floor(
+            (
+                math.log((tgt_cnt[b] + 1.0) / (tgt_tot + float(N_BUCKETS)))
+                - math.log((src_cnt[b] + 1.0) / (src_tot + float(N_BUCKETS)))
+            )
+            * _UNIT
+            + 0.5
+        )
+        for b in src_cnt
+    }
+    expected = {
+        doc_id: (
+            len(bs),
+            _round4(sum(units[b] for b in bs) / float(_UNIT)),
+        )
+        for doc_id, bs in doc_buckets.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in dsir_importance_weights(spark, sf).collect()
+    }
+    assert got == expected
