@@ -134,6 +134,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.similarity.semdedup",
         "big_data_competition_dxc_spark.operators.lateral",
         "big_data_competition_dxc_spark.textops.dsir",
+        "big_data_competition_dxc_spark.streaming.pystream",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

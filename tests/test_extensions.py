@@ -476,3 +476,49 @@ def test_sampled_curve_estimator_tracks_exact(spark):
             )
             checked += 1
     assert checked >= 1, "no threshold had enough pairs to check the estimator"
+
+
+def test_tickfeed_replay_matches_incremental_reads():
+    """The streaming Python source's recovery contract: chaining read()
+    from the initial offset and replaying readBetweenOffsets over the
+    full committed range must produce the identical record sequence."""
+    from big_data_competition_dxc_spark.streaming.pystream import (
+        BATCH_ROWS,
+        N_BATCHES,
+        TickFeedReader,
+    )
+
+    r = TickFeedReader()
+    off = r.initialOffset()
+    incremental = []
+    for _ in range(N_BATCHES + 2):  # two extra polls: exhausted feed
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if nxt == off:
+            assert rows == []  # exhausted = no rows AND no offset move
+        incremental.extend(rows)
+        off = nxt
+    assert off == {"next": N_BATCHES}
+    replay = list(r.readBetweenOffsets(r.initialOffset(), off))
+    assert replay == incremental
+    assert len(replay) == N_BATCHES * BATCH_ROWS
+    assert [i for i, _ in replay] == list(range(N_BATCHES * BATCH_ROWS))
+
+
+def test_python_datasource_stream_verifies_content(spark):
+    """End-to-end drain: every bucket fully verified (Python md5 ==
+    JVM md5), ids exactly covering the feed range."""
+    from big_data_competition_dxc_spark.streaming.pystream import (
+        BATCH_ROWS,
+        N_BATCHES,
+        N_BUCKETS,
+    )
+
+    rows = _df("python_datasource_stream", spark).collect()
+    assert len(rows) == N_BUCKETS
+    total = N_BATCHES * BATCH_ROWS
+    for r in rows:
+        assert r["n"] == total // N_BUCKETS
+        assert r["n_verified"] == r["n"]
+        assert r["min_id"] == r["bucket"]
+        assert r["max_id"] == total - N_BUCKETS + r["bucket"]
