@@ -111,3 +111,43 @@ def dedup_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-cleaning first step."""
     ev = load(spark, sf_dir, "events")
     return ev.select("user_id", "event_type", F.to_date("ts").alias("ds")).distinct()
+
+
+@query(
+    "setops_bag_semantics",
+    oracle="""
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id FROM events WHERE event_type = 'click'),
+ex AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b),
+ia AS (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b)
+SELECT 'except_all' AS op, user_id, COUNT(*) AS n FROM ex GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, user_id, COUNT(*) FROM ia GROUP BY 2
+""",
+    tags=("U2", "U3"),
+)
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the multiplicity-preserving
+    variants U2/U3's DISTINCT forms can't express: per user,
+    views-minus-clicks keeps count_views - count_clicks copies and the
+    intersection keeps min(count_views, count_clicks). Summarized per
+    (op, user) so bag semantics are visible as counts. Spark plans both
+    as a single aggregate computing per-key multiplicities then a
+    generator replicating rows (no join) — one shuffle each, same as
+    the relational textbook form."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "user_id", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "n")
+    )
+    return ex.unionByName(ia)

@@ -531,3 +531,32 @@ def test_epoch_shuffle_orders_differ_and_are_stable(spark):
         assert all(int(p) in doc_ids for p in parts)
     rerun = _df("epoch_shuffle_order", spark).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
+
+
+def test_setops_bag_semantics_algebra(spark):
+    """EXCEPT ALL / INTERSECT ALL multiplicities must equal the
+    closed-form counts derived independently from per-user view/click
+    totals: n_except = views - clicks (when positive), n_intersect =
+    min(views, clicks)."""
+    ev = load(spark, SF_TEST_DIR, "events")
+    counts = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    users = {u for u, _ in counts}
+    expected = {}
+    for u in users:
+        v = counts.get((u, "view"), 0)
+        c = counts.get((u, "click"), 0)
+        if v - c > 0:
+            expected[("except_all", u)] = v - c
+        if min(v, c) > 0:
+            expected[("intersect_all", u)] = min(v, c)
+    got = {
+        (r["op"], r["user_id"]): r["n"]
+        for r in _df("setops_bag_semantics", spark).collect()
+    }
+    assert got == expected
