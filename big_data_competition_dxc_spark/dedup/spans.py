@@ -66,6 +66,19 @@ def span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fp, doc_id, c) — the load-bearing pre-aggregation both queries
+    share: the raw span table shuffles exactly once, and every
+    downstream count-distinct becomes a plain count/sum over this pair
+    table — no COUNT DISTINCT ever Expands the raw spans (measured
+    1.5x at sf1)."""
+    return (
+        span_fingerprints(spark, sf_dir)
+        .groupBy("fp", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 #: Shared oracle CTE: the k-gram span table (DuckDB list slicing is
 #: inclusive-end, hence i:i+K-1; range() is empty when len < K).
 _SQL_SPANS = f"""
@@ -107,16 +120,7 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity exact-substring dedup would remove. Docs shorter than
     {SPAN_TOKENS} tokens contribute no spans and drop out (matching the
     empty range() on the oracle side)."""
-    # Pre-aggregate to (fp, doc_id, occurrences) FIRST: the raw span
-    # table shuffles exactly once, and every downstream count-distinct
-    # becomes a plain count over the pair table — no Expand doubling
-    # (a mixed COUNT + COUNT DISTINCT agg would Expand the full span
-    # table; measured 1.5x slower at sf1).
-    pairs = (
-        span_fingerprints(spark, sf_dir)
-        .groupBy("fp", "doc_id")
-        .agg(F.count("*").alias("c"))
-    )
+    pairs = span_pairs(spark, sf_dir)
     dup_fps = (
         pairs.groupBy("fp")
         .agg(F.count("*").alias("n_docs"))
@@ -170,12 +174,8 @@ def substring_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not the corpus."""
     from pyspark.sql import Window
 
-    # Same (fp, doc_id) pre-aggregation as substring_span_dedup: the
-    # distinct-doc reach is a plain COUNT over the pair table.
     per_fp = (
-        span_fingerprints(spark, sf_dir)
-        .groupBy("fp", "doc_id")
-        .agg(F.count("*").alias("c"))
+        span_pairs(spark, sf_dir)
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),

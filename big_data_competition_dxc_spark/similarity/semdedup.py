@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
-from .cosine import as_double, dot
+from .cosine import _SQL_COS, as_double, dot
 
 #: Sign bits in the bucket key: 2^6 = 64 clusters, ~n/64 vectors each —
 #: coarse on purpose (SemDeDup uses cluster counts far below corpus
@@ -46,12 +46,6 @@ SEM_BITS = 6
 #: paper's 0.95+ regime would prune nothing; 0.2 exercises both
 #: branches of the keep/prune decision on every scale fixture.
 SEM_TAU = 0.2
-
-_SQL_COS = (
-    "(list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
-)
-
 
 @query(
     "semantic_dedup_keep",

@@ -37,7 +37,9 @@ def _brute_spans(duck):
     rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
     per_doc: dict[int, list[str]] = {}
     for doc_id, text in rows:
-        words = re.sub(r"\s+", " ", text.strip()).split(" ")
+        # strip(" ") not strip(): both engines' trim() removes SPACES
+        # only, and the spec must mirror that exactly
+        words = re.sub(r"\s+", " ", text.strip(" ")).split(" ")
         fps = [
             hashlib.md5(
                 " ".join(words[i : i + SPAN_TOKENS]).encode()
@@ -155,7 +157,7 @@ def test_dsir_weights_match_bruteforce(spark, duck):
     for doc_id, lang, text in rows:
         bs = [
             int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % N_BUCKETS
-            for t in text.strip().lower().split(" ")
+            for t in text.strip(" ").lower().split(" ")  # trim() = spaces only
         ]
         doc_buckets[doc_id] = bs
         for b in bs:
