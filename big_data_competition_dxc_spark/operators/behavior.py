@@ -361,3 +361,37 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LISTAGG_SQL = """
+SELECT user_id, CAST(ts AS DATE) AS ds,
+       listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+@query(
+    "listagg_daily_paths",
+    oracle="""
+SELECT user_id, CAST(ts AS DATE) AS ds,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("A1", "sequence", "S5"),
+)
+def listagg_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day) ordered event path via Spark 4's LISTAGG ...
+    WITHIN GROUP (ORDER BY ...) — the declarative form of the ordered
+    string aggregation event_paths_opening builds manually from
+    array_sort(collect_list(struct))/transform/array_join; DuckDB
+    spells the same aggregate string_agg(expr, delim ORDER BY ...).
+    The WITHIN GROUP ordering makes the result deterministic under any
+    shuffle layout (the property the struct-sort idiom exists for)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LISTAGG_SQL)

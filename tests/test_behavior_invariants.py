@@ -560,3 +560,25 @@ def test_setops_bag_semantics_algebra(spark):
         for r in _df("setops_bag_semantics", spark).collect()
     }
     assert got == expected
+
+
+def test_listagg_paths_match_python_ordering(spark):
+    """The LISTAGG WITHIN GROUP result must equal paths rebuilt in
+    Python from raw events sorted by (ts, event_id) — full corpus."""
+    ev = load(spark, SF_TEST_DIR, "events").select(
+        "user_id", F.to_date("ts").alias("ds"), "ts", "event_id", "event_type"
+    )
+    raw = ev.collect()
+    from collections import defaultdict as dd
+
+    groups = dd(list)
+    for r in raw:
+        groups[(r["user_id"], r["ds"])].append((r["ts"], r["event_id"], r["event_type"]))
+    expected = {
+        k: (">".join(t for _, _, t in sorted(v)), len(v)) for k, v in groups.items()
+    }
+    got = {
+        (r["user_id"], r["ds"]): (r["path"], r["n_events"])
+        for r in _df("listagg_daily_paths", spark).collect()
+    }
+    assert got == expected
