@@ -7,8 +7,9 @@ exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
 Training Data Makes Language Models Better": their suffix-array pass
 finds 50-token repeats; the distributed-friendly equivalent is rolling
 k-gram fingerprints, which is what we compute). Extends the reference's
-row-level duplicate handling (数据工厂需求文档.md:63-75) from whole
-records to sub-document spans.
+whole-record duplicate handling (流行音乐趋势预测.md:42 ``select
+distinct *`` over raw user actions; SURVEY.md §2.12 dedup ladder) from
+whole records to sub-document spans.
 
 Scale path (100 TB): the span table is token-count-sized — one row per
 k-gram, produced scan-side by a JVM ``transform``+``explode`` with no
@@ -16,7 +17,8 @@ Python in the loop — and it shuffles exactly ONCE, into a (fp, doc_id,
 occurrences) pre-aggregation with map-side combine. Every downstream
 quantity (document reach, duplicated-fingerprint set, per-doc coverage)
 is a plain count/sum over that pair table, so no COUNT DISTINCT ever
-Expands the raw spans (measured 1.5x at sf1) and no single reducer sees
+runs an Expand over the raw span table (the Expand plan measured 1.5x
+slower at sf1) and no single reducer sees
 a hot boilerplate key's full occurrence list — the pair table bounds a
 hot fp to one row per touching document, and AQE skew-join covers the
 dup-set join. Never a pair join, never the text payload past the first
@@ -70,8 +72,8 @@ def span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(fp, doc_id, c) — the load-bearing pre-aggregation both queries
     share: the raw span table shuffles exactly once, and every
     downstream count-distinct becomes a plain count/sum over this pair
-    table — no COUNT DISTINCT ever Expands the raw spans (measured
-    1.5x at sf1)."""
+    table — no COUNT DISTINCT ever runs an Expand over the raw span
+    table (the Expand plan measured 1.5x slower at sf1)."""
     return (
         span_fingerprints(spark, sf_dir)
         .groupBy("fp", "doc_id")

@@ -40,7 +40,7 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-_SQL_COS = (
+SQL_COS = (
     "(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
 )
@@ -53,7 +53,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
 p AS (
   SELECT q.q_id, e.vec_id,
-         {sql_round(_SQL_COS.format(a="q.qv", b="e.v"), 4)} AS sim
+         {sql_round(SQL_COS.format(a="q.qv", b="e.v"), 4)} AS sim
   FROM q, e WHERE e.vec_id <> q.q_id
 ),
 r AS (
@@ -103,9 +103,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
+       {sql_round(SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+WHERE {SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
 """,
     tags=("similarity", "dedup"),
 )
@@ -189,9 +189,9 @@ _EMB_PAIRS_SQL = f"""
   e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
   pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
+           {sql_round(SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+    WHERE {SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
   ),
   sym AS (
     SELECT vec_a AS vec_id, vec_b AS other_vec_id, cos_sim FROM pairs
@@ -355,9 +355,9 @@ def _curve_oracle() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS s
+         {sql_round(SQL_COS.format(a="a.v", b="b.v"), 4)} AS s
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+  WHERE {SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
 ),
 vbest AS (
   SELECT vec, MAX(s) AS best FROM (
@@ -446,9 +446,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE {_SQL_CURVE_SAMPLE}),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS s
+         {sql_round(SQL_COS.format(a="a.v", b="b.v"), 4)} AS s
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+  WHERE {SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
 ),
 vbest AS (
   SELECT vec, MAX(s) AS best FROM (
@@ -537,9 +537,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE {_SQL_CURVE_SAMPLE}),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {sql_round(_SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
+         {sql_round(SQL_COS.format(a="a.v", b="b.v"), 4)} AS cos_sim
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
+  WHERE {SQL_COS.format(a="a.v", b="b.v")} >= {NEARDUP_COS}
 ),
 sym AS (
   SELECT vec_a AS vec_id, cos_sim FROM pairs

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_to, sql_round
 from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
-from ..similarity.cosine import _SQL_COS, as_double, dot
+from ..similarity.cosine import SQL_COS, as_double, dot
 from ..sources import load
 from ..streaming.ann_ingest import ANN_LSH_BITS, _SQL_BUCKET, _bucket_col
 from .multiprobe import _SQL_PROBES, _flip
@@ -55,7 +55,7 @@ q2 AS (SELECT * FROM sig
 c AS (SELECT * FROM sig WHERE vec_id >= {EVO_PROBE}),
 p1 AS (
   SELECT q1.vec_id AS q_id,
-         MAX({sql_round(_SQL_COS.format(a="q1.v", b="c.v"), 4)}) AS best
+         MAX({sql_round(SQL_COS.format(a="q1.v", b="c.v"), 4)}) AS best
   FROM q1 JOIN c ON q1.bucket = c.bucket
   GROUP BY q1.vec_id
 ),
@@ -80,7 +80,7 @@ cand AS (
 ),
 scored AS (
   SELECT cand.q_id, cand.c_id,
-         {sql_round(_SQL_COS.format(a="q2.v", b="ev.v"), 4)} AS sim
+         {sql_round(SQL_COS.format(a="q2.v", b="ev.v"), 4)} AS sim
   FROM cand
   JOIN q2 ON q2.vec_id = cand.q_id
   JOIN evolved ev ON ev.vec_id = cand.c_id

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
-from .cosine import _SQL_COS, N_QUERIES, as_double, dot
+from .cosine import SQL_COS, N_QUERIES, as_double, dot
 
 HARD_K = 5
 
@@ -39,7 +39,7 @@ q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
 p AS (
   SELECT q.q_id, CAST(q.q_label AS BIGINT) AS anchor_label,
          e.vec_id, CAST(e.label AS BIGINT) AS neighbor_label,
-         {sql_round(_SQL_COS.format(a="q.qv", b="e.v"), 4)} AS sim
+         {sql_round(SQL_COS.format(a="q.qv", b="e.v"), 4)} AS sim
   FROM q, e
   WHERE e.vec_id <> q.q_id AND e.label <> q.q_label
 ),

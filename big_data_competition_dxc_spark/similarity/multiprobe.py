@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_to, sql_round
 from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
-from ..similarity.cosine import _SQL_COS, as_double, dot
+from ..similarity.cosine import SQL_COS, as_double, dot
 from ..sources import load
 from ..streaming.ann_ingest import ANN_LSH_BITS, _SQL_BUCKET, _bucket_col
 
@@ -77,7 +77,7 @@ exact AS (
     SELECT q.vec_id AS q_id, c.vec_id AS c_id,
            ROW_NUMBER() OVER (
              PARTITION BY q.vec_id
-             ORDER BY {sql_round(_SQL_COS.format(a="q.v", b="c.v"), 4)} DESC,
+             ORDER BY {sql_round(SQL_COS.format(a="q.v", b="c.v"), 4)} DESC,
                       c.vec_id) AS rn
     FROM q, c
   ) WHERE rn <= {MP_K}

@@ -7,8 +7,9 @@ members whose cosine to the representative clears a threshold. Unlike
 the pair-listing near-dup family (similarity/cosine.py), each vector
 computes exactly ONE cosine — to its cluster representative — so the
 similarity work is O(n), not O(sum of bucket²). Complements the
-reference's record-level duplicate removal (数据工厂需求文档.md:63-75)
-with the embedding-space variant a training-data pipeline needs.
+reference's record-level duplicate removal (流行音乐趋势预测.md:42
+``select distinct *``; SURVEY.md §2.12 dedup ladder) with the
+embedding-space variant a training-data pipeline needs.
 
 Clustering here is the deterministic sign-bit partition (first
 SEM_BITS dimensions' signs — the same random-hyperplane LSH family as
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
-from .cosine import _SQL_COS, as_double, dot
+from .cosine import SQL_COS, as_double, dot
 
 #: Sign bits in the bucket key: 2^6 = 64 clusters, ~n/64 vectors each —
 #: coarse on purpose (SemDeDup uses cluster counts far below corpus
@@ -62,9 +63,9 @@ canon AS (SELECT bucket, MIN(vec_id) AS keeper_vec_id FROM sig GROUP BY bucket),
 cv AS (SELECT c.bucket, c.keeper_vec_id, s.v AS kv
        FROM canon c JOIN sig s ON s.vec_id = c.keeper_vec_id)
 SELECT s.vec_id, s.bucket, cv.keeper_vec_id,
-       {sql_round(_SQL_COS.format(a="s.v", b="cv.kv"), 4)} AS cos_to_keeper,
+       {sql_round(SQL_COS.format(a="s.v", b="cv.kv"), 4)} AS cos_to_keeper,
        CAST(CASE WHEN s.vec_id <> cv.keeper_vec_id
-                  AND {sql_round(_SQL_COS.format(a="s.v", b="cv.kv"), 4)}
+                  AND {sql_round(SQL_COS.format(a="s.v", b="cv.kv"), 4)}
                       >= {SEM_TAU}
             THEN 1 ELSE 0 END AS INT) AS pruned
 FROM sig s JOIN cv ON s.bucket = cv.bucket

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
-from ..similarity.cosine import _SQL_COS, as_double, dot
+from ..similarity.cosine import SQL_COS, as_double, dot
 from ..sources import load
 from .dedup_ingest import _formatted_plan
 
@@ -92,7 +92,7 @@ q AS (SELECT * FROM sig WHERE vec_id < {N_STREAM_QUERIES}),
 c AS (SELECT * FROM sig WHERE vec_id >= {N_STREAM_QUERIES}),
 cand AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         {sql_round(_SQL_COS.format(a="q.v", b="c.v"), 4)} AS sim
+         {sql_round(SQL_COS.format(a="q.v", b="c.v"), 4)} AS sim
   FROM q JOIN c ON q.bucket = c.bucket
 ),
 ranked AS (

@@ -26,6 +26,11 @@ EDGE_QUERIES = [
     "udtf_word_chunks",
     "span_corruption_pairs",
     "mapinarrow_token_stats",  # NULL propagation + UTF-8 byte lengths
+    # r12 document-exploding additions (r12 ADVICE): NULL text must drop
+    # rows in BOTH engines; '' must tokenize identically (one '' token).
+    "substring_span_dedup",
+    "substring_span_hotspots",
+    "dsir_importance_weights",
 ]
 
 
