@@ -28,7 +28,7 @@ halve shuffle width; md5 keeps the DuckDB oracle byte-identical here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
@@ -45,27 +45,46 @@ SPAN_TOKENS = 8
 HOTSPOT_TOP_K = 20
 
 
-def span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fp) — one row per rolling SPAN_TOKENS-gram, md5-hashed.
+def _words(col: str = "text") -> Column:
+    """Whitespace-normalized token array — the ONE tokenization shared
+    by every query in this module (and mirrored token-for-token in the
+    oracles' ``string_split(regexp_replace(trim(..)))``)."""
+    return F.split(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "), " ")
+
+
+def span_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, fp) — one row per rolling SPAN_TOKENS-gram with its
+    1-based start position, md5-hashed.
 
     The ``when`` guard matters: Spark's ``sequence(1, n)`` with n < 1
     yields a DESCENDING sequence ([1, 0]), not an empty one, so docs
     shorter than SPAN_TOKENS must short-circuit to an empty array
     (DuckDB's ``range`` is empty there, and the engines must agree)."""
     docs = load(spark, sf_dir, "documents")
-    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
     spans = F.when(
         F.size("w") >= SPAN_TOKENS,
         F.transform(
             F.sequence(F.lit(1), F.size("w") - SPAN_TOKENS + 1),
-            lambda i: F.array_join(F.slice("w", i, SPAN_TOKENS), " "),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.array_join(F.slice("w", i, SPAN_TOKENS), " ")).alias(
+                    "fp"
+                ),
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<i:int,fp:string>>"))
     return (
-        docs.select("doc_id", words.alias("w"))
-        .select("doc_id", F.explode(spans).alias("span"))
-        .select("doc_id", F.md5("span").alias("fp"))
+        docs.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(spans).alias("s"))
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.fp").alias("fp"))
     )
+
+
+def span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) — the position-free view of :func:`span_starts`
+    (Catalyst prunes the unused position column out of the scan-side
+    projection)."""
+    return span_starts(spark, sf_dir).select("doc_id", "fp")
 
 
 def span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,4 +209,92 @@ def substring_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(*order)
     return top.withColumn("rn", F.row_number().over(w).cast("bigint")).select(
         "fp", "n_docs", "n_occ", "rn"
+    )
+
+
+@query(
+    "substring_span_scrub",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+  WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, i,
+         md5(array_to_string(words[i:i+{SPAN_TOKENS}-1], ' ')) AS fp
+  FROM w, UNNEST(range(1, len(words) - {SPAN_TOKENS} + 2)) AS t(i)
+),
+dup AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, u.j
+  FROM s JOIN dup USING (fp), UNNEST(range(s.i, s.i + {SPAN_TOKENS})) AS u(j)
+),
+tok AS (
+  SELECT w.doc_id, t.j, w.words[t.j] AS word
+  FROM w, UNNEST(range(1, len(w.words) + 1)) AS t(j)
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(cov.j) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN cov.j IS NULL THEN tok.word END,
+                           ' ' ORDER BY tok.j), '') AS text_scrubbed
+FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+GROUP BY tok.doc_id
+""",
+    tags=("dedup", "spans", "llm-pipeline"),
+)
+def substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable artifact of span dedup: each document's text with
+    every token covered by a CROSS-DOCUMENT duplicated span removed —
+    Lee et al. 2022's exact-substring scrub (their suffix-array pass
+    deletes one copy; the k-gram approximation here removes all covered
+    positions, the conservative variant boilerplate removal wants).
+    One row per non-NULL-text document: token count, removed-token
+    count, and the scrubbed text (whitespace-normalized — the rejoin
+    uses single spaces, same as the tokenization). Docs shorter than
+    {SPAN_TOKENS} tokens, and docs whose spans are all unique, pass
+    through untouched with n_removed = 0.
+
+    Scale shape: the dup-fp set comes from the shared ``span_pairs``
+    pre-agg (one shuffle); the positional span stream joins it on fp
+    (AQE-covered equi-join) and collapses to ONE small array per
+    document (dup span starts — bounded by tokens/doc). The covered-
+    position expansion, token filtering, and text rebuild are all
+    per-row JVM higher-order functions on the document table — no
+    pair joins, no per-token shuffle, and the text payload crosses
+    exactly one broadcast-or-hash join."""
+    dup_fps = (
+        span_pairs(spark, sf_dir)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    covered = (
+        span_starts(spark, sf_dir)
+        .join(dup_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("dup_starts"))
+    )
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select("doc_id", _words().alias("w"))
+    joined = base.join(covered, "doc_id", "left")
+    starts = F.coalesce("dup_starts", F.array().cast("array<int>"))
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(starts, lambda s: F.sequence(s, s + SPAN_TOKENS - 1))
+        )
+    )
+    # array_except preserves first-array order, so positions stay
+    # ascending and the rejoin reconstructs the original token order.
+    keep_pos = F.array_except(F.sequence(F.lit(1), F.size("w")), cov)
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(cov).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(keep_pos, lambda p: F.element_at(F.col("w"), p)), " "
+        ).alias("text_scrubbed"),
     )

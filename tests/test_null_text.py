@@ -31,6 +31,10 @@ EDGE_QUERIES = [
     "substring_span_dedup",
     "substring_span_hotspots",
     "dsir_importance_weights",
+    # r13 additions: scrub drops NULL-text docs explicitly in both
+    # engines; the resample decision inherits dsir's NULL handling.
+    "substring_span_scrub",
+    "dsir_resample_keep",
 ]
 
 

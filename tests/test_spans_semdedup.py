@@ -198,6 +198,110 @@ def test_dsir_weights_match_bruteforce(spark, duck):
     assert sum(tgt_scores) / len(tgt_scores) > sum(other) / len(other)
 
 
+def _brute_scrub(per_doc_words: dict[int, list[str]]):
+    """From-scratch span scrub spec: dup fps over all docs, covered
+    1-based positions per doc, kept tokens rejoined with single
+    spaces."""
+    fp_docs: dict[str, set[int]] = defaultdict(set)
+    starts: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, ws in per_doc_words.items():
+        sp = [
+            (
+                i + 1,
+                hashlib.md5(
+                    " ".join(ws[i : i + SPAN_TOKENS]).encode()
+                ).hexdigest(),
+            )
+            for i in range(len(ws) - SPAN_TOKENS + 1)
+        ]
+        starts[doc_id] = sp
+        for _, fp in sp:
+            fp_docs[fp].add(doc_id)
+    dup = {fp for fp, ds in fp_docs.items() if len(ds) >= 2}
+    expected = {}
+    for doc_id, ws in per_doc_words.items():
+        covered: set[int] = set()
+        for i, fp in starts[doc_id]:
+            if fp in dup:
+                covered.update(range(i, i + SPAN_TOKENS))
+        kept = [w for j, w in enumerate(ws, 1) if j not in covered]
+        expected[doc_id] = (len(ws), len(covered), " ".join(kept))
+    return expected
+
+
+def test_span_scrub_matches_bruteforce(spark, duck):
+    rows = duck.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    per_doc = {
+        doc_id: re.sub(r"\s+", " ", text.strip(" ")).split(" ")
+        for doc_id, text in rows
+    }
+    expected = _brute_scrub(per_doc)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_scrubbed"])
+        for r in _df("substring_span_scrub", spark).collect()
+    }
+    assert got == expected
+    # the fixture must exercise both the scrubbed and untouched branches
+    removed = [v[1] for v in expected.values()]
+    assert any(n > 0 for n in removed) and any(n == 0 for n in removed)
+    # scrubbing is consistent with the coverage report: n_removed > 0
+    # exactly where substring_span_dedup reports dup_frac > 0
+    dup_occ = {
+        r["doc_id"]: r["n_dup_occ"]
+        for r in _df("substring_span_dedup", spark).collect()
+    }
+    for doc_id, (_, n_removed, _) in expected.items():
+        assert (n_removed > 0) == (dup_occ.get(doc_id, 0) > 0)
+
+
+def test_dsir_resample_matches_bruteforce(spark, duck):
+    """The keep decision recomputed from scratch: floor(units/n_tokens)
+    in IEEE double, the [500, 10000] clamp around 5000, and the
+    md5-basis-point uniform — plus the monotonicity property that makes
+    it DSIR (higher weight never keeps less)."""
+    from big_data_competition_dxc_spark.textops.dsir import (
+        KEEP_BASE_BPS,
+        KEEP_MAX_BPS,
+        KEEP_MIN_BPS,
+    )
+
+    weights = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in _df("dsir_importance_weights", spark).collect()
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dsir_logratio"],
+            r["keep_bps"],
+            r["kept"],
+        )
+        for r in _df("dsir_resample_keep", spark).collect()
+    }
+    assert set(got) == set(weights)
+    for doc_id, (n_tokens, logratio, keep_bps, kept) in got.items():
+        assert (n_tokens, logratio) == weights[doc_id]
+        units = math.floor(logratio * 10000.0 + 0.5)  # exact 1e-4 grid
+        expect_bps = min(
+            KEEP_MAX_BPS,
+            max(KEEP_MIN_BPS, KEEP_BASE_BPS + math.floor(units / n_tokens)),
+        )
+        assert keep_bps == expect_bps
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 10000
+        assert kept == int(u < expect_bps)
+    # both branches exercised, and the fixture's spread is real
+    assert {v[3] for v in got.values()} == {0, 1}
+    assert len({v[2] for v in got.values()}) > 1
+    # monotone: a higher per-token weight never yields a lower keep rate
+    by_avg = sorted(
+        (math.floor(math.floor(v[1] * 10000.0 + 0.5) / v[0]), v[2])
+        for v in got.values()
+    )
+    assert all(a[1] <= b[1] for a, b in zip(by_avg, by_avg[1:]))
+
+
 def test_lateral_topk_matches_window_plan(spark):
     """The LATERAL decorrelation and an explicit ranked-window plan are
     two routes to the same rows."""
@@ -285,6 +389,26 @@ def test_span_dedup_spec_on_random_corpora(spark, tmp_path_factory, docs):
         for r in plans.QUERIES["substring_span_dedup"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_span_scrub_spec_on_random_corpora(spark, tmp_path_factory, docs):
+    """Same adversarial regime as the dedup property test — a 3-word
+    vocabulary where overlapping dup spans cover most positions — plus
+    the reconstruction invariants: scrubbing is idempotent-shaped
+    (kept text length == n_tokens - n_removed) and an all-unique corpus
+    passes through byte-identical."""
+    sf = _write_docs(tmp_path_factory, docs)
+    expected = _brute_scrub({i: ws for i, ws in enumerate(docs)})
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_scrubbed"])
+        for r in plans.QUERIES["substring_span_scrub"].fn(spark, sf).collect()
+    }
+    assert got == expected
+    for n_tokens, n_removed, text in got.values():
+        kept = text.split(" ") if text else []
+        assert len(kept) == n_tokens - n_removed
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
