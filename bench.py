@@ -472,6 +472,16 @@ def main() -> None:
             rnd = spot.get("round")
             if not isinstance(rnd, int):
                 continue
+            # A rejected SCALE half means every sf1 min in the record
+            # came from steal-contaminated windows (r12: the ML batch
+            # published 7.9x/4.6x ratios out of a 1801-3167-jiffy
+            # block) — that is not coverage, so the batch re-enters
+            # the queue instead of being marked done. The main half's
+            # acceptance is not required: ratios use min-of-attempts,
+            # and the scale mins are the scarce signal.
+            acc = spot.get("accepted")
+            if isinstance(acc, list) and len(acc) == 2 and acc[1] is False:
+                continue
             names = spot.get("names") or list(
                 spot.get("ratio") or spot.get("q_min") or {}
             )
@@ -584,7 +594,17 @@ def main() -> None:
     # unavailable (ratios are the point). ----
     spotlight = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SPOTLIGHT"):
-        spot_names = _spotlight_names(round_no)
+        # Builder-side re-spotlight: SPARK_GRAFT_SPOT_NAMES=a,b,c pins
+        # the batch (e.g. re-measuring a steal-rejected block in a
+        # clean window). Dev artifacts never feed _spotlight_history,
+        # so an override can't push the driver's canonical queue.
+        spot_env = os.environ.get("SPARK_GRAFT_SPOT_NAMES")
+        if spot_env:
+            spot_names = [
+                n for n in spot_env.split(",") if n in plans.QUERIES
+            ]
+        else:
+            spot_names = _spotlight_names(round_no)
         spot_set = {n: plans.QUERIES[n] for n in spot_names}
         if spot_set:
             print(f"# spotlight r{round_no}: {spot_names}", file=sys.stderr)

@@ -212,6 +212,32 @@ def substring_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_dup_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, dup_starts) — every non-NULL-text document's token
+    array left-joined with the collected start positions of its spans
+    that duplicate across documents. The shared upstream of the scrub
+    and islands queries: dup-fp set from the ``span_pairs`` pre-agg,
+    ONE per-document array after the fp join — everything downstream
+    is per-row JVM higher-order functions."""
+    dup_fps = (
+        span_pairs(spark, sf_dir)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    covered = (
+        span_starts(spark, sf_dir)
+        .join(dup_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("dup_starts"))
+    )
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select("doc_id", _words().alias("w")).join(
+        covered, "doc_id", "left"
+    )
+
+
 @query(
     "substring_span_scrub",
     oracle=f"""
@@ -265,22 +291,7 @@ def substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row JVM higher-order functions on the document table — no
     pair joins, no per-token shuffle, and the text payload crosses
     exactly one broadcast-or-hash join."""
-    dup_fps = (
-        span_pairs(spark, sf_dir)
-        .groupBy("fp")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("fp")
-    )
-    covered = (
-        span_starts(spark, sf_dir)
-        .join(dup_fps, "fp")
-        .groupBy("doc_id")
-        .agg(F.collect_set("i").alias("dup_starts"))
-    )
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = docs.select("doc_id", _words().alias("w"))
-    joined = base.join(covered, "doc_id", "left")
+    joined = _docs_with_dup_starts(spark, sf_dir)
     starts = F.coalesce("dup_starts", F.array().cast("array<int>"))
     cov = F.array_distinct(
         F.flatten(
@@ -297,4 +308,104 @@ def substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(keep_pos, lambda p: F.element_at(F.col("w"), p)), " "
         ).alias("text_scrubbed"),
+    )
+
+
+@query(
+    "substring_span_islands",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+  WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, i,
+         md5(array_to_string(words[i:i+{SPAN_TOKENS}-1], ' ')) AS fp
+  FROM w, UNNEST(range(1, len(words) - {SPAN_TOKENS} + 2)) AS t(i)
+),
+dup AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, u.j
+  FROM s JOIN dup USING (fp), UNNEST(range(s.i, s.i + {SPAN_TOKENS})) AS u(j)
+),
+isl AS (
+  SELECT doc_id, j,
+         j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM cov
+),
+runs AS (SELECT doc_id, grp, COUNT(*) AS run_len FROM isl GROUP BY doc_id, grp),
+per AS (
+  SELECT doc_id,
+         SUM(run_len) AS n_covered,
+         COUNT(*) AS n_islands,
+         MAX(run_len) AS max_run
+  FROM runs GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(per.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(COALESCE(per.n_islands, 0) AS BIGINT) AS n_islands,
+       CAST(COALESCE(per.max_run, 0) AS BIGINT) AS max_run
+FROM w LEFT JOIN per USING (doc_id)
+""",
+    tags=("dedup", "spans", "llm-pipeline", "W4"),
+)
+def substring_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicated-region PROFILE behind the scrub: per document,
+    how many token positions sit under cross-document duplicated
+    spans (n_covered), in how many contiguous runs (n_islands), and
+    the longest run (max_run — the 'longest exact duplicate substring'
+    length Lee et al. report; >= {SPAN_TOKENS} whenever any span
+    duplicates). A doc whose max_run barely exceeds {SPAN_TOKENS} has
+    scattered boilerplate; max_run near n_tokens means the document is
+    a wholesale copy.
+
+    Scale shape: identical upstream to the scrub (one span_pairs
+    shuffle + the fp join + one per-doc array), then the run detection
+    is a per-row JVM ``aggregate`` fold over the SORTED covered-
+    position array — no per-position rows ever shuffle, no window over
+    the corpus. The oracle computes the same runs with the classic
+    gaps-and-islands window instead, so the two engines cross-check
+    the fold against an independent formulation."""
+    joined = _docs_with_dup_starts(spark, sf_dir)
+    starts = F.coalesce("dup_starts", F.array().cast("array<int>"))
+    cov = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    starts, lambda s: F.sequence(s, s + SPAN_TOKENS - 1)
+                )
+            )
+        )
+    )
+    fold = F.aggregate(
+        cov,
+        F.struct(
+            F.lit(-2).alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("mx"),
+            F.lit(0).alias("n"),
+        ),
+        lambda acc, j: F.struct(
+            j.alias("prev"),
+            F.when(j == acc["prev"] + 1, acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(j == acc["prev"] + 1, acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("mx"),
+            (
+                acc["n"] + F.when(j == acc["prev"] + 1, 0).otherwise(1)
+            ).alias("n"),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(cov).cast("bigint").alias("n_covered"),
+        fold["n"].cast("bigint").alias("n_islands"),
+        fold["mx"].cast("bigint").alias("max_run"),
     )

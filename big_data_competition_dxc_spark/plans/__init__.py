@@ -135,6 +135,8 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.operators.lateral",
         "big_data_competition_dxc_spark.textops.dsir",
         "big_data_competition_dxc_spark.streaming.pystream",
+        # --- round-13 additions ---
+        "big_data_competition_dxc_spark.sources.pysink",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

@@ -50,6 +50,55 @@ def test_python_datasource_plans_parallel_partitions(spark):
     assert feed.count() == N_ROWS
 
 
+def test_python_datasource_sink_commit_protocol(spark, tmp_path):
+    """The custom sink's two-phase commit, pinned directly: every task
+    publishes exactly one manifest-listed part, part row counts are
+    conserved, the decoy orphan stays unlisted, and a failed job leaves
+    NO manifest behind (abort path)."""
+    import json
+    import os
+
+    import pytest
+
+    from big_data_competition_dxc_spark.sources.pysink import (
+        MANIFEST,
+        AuditedSinkSource,
+    )
+
+    spark.dataSource.register(AuditedSinkSource)
+    out = str(tmp_path / "ok")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-deadbeefdecoy.txt"), "w") as f:
+        f.write("1|Z|1\n")
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], i * 100) for i in range(40)],
+        "k bigint, status string, cents bigint",
+    ).repartition(4, "k")
+    df.write.format("audited_sink").option("path", out).mode("append").save()
+    with open(os.path.join(out, MANIFEST)) as f:
+        manifest = json.load(f)
+    assert len(manifest["files"]) == 4
+    assert "part-deadbeefdecoy.txt" not in manifest["files"]
+    assert manifest["total_rows"] == 40
+    assert sum(manifest["parts"].values()) == 40
+    on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
+    assert set(manifest["files"]) == on_disk - {"part-deadbeefdecoy.txt"}
+
+    # abort path: a poisoned partition fails the job -> no manifest
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    poisoned = spark.createDataFrame(
+        [(i, "A", i) for i in range(8)], "k bigint, status string, cents bigint"
+    ).repartition(2, "k").selectExpr(
+        "k", "CASE WHEN k = 3 THEN assert_true(false) ELSE status END AS status", "cents"
+    )
+    with pytest.raises(Exception):
+        poisoned.write.format("audited_sink").option("path", bad).mode(
+            "append"
+        ).save()
+    assert MANIFEST not in os.listdir(bad)
+
+
 def test_recursive_reach_anchored_and_bounded(spark):
     """The source supplier sits at hops 0; no node exceeds MAX_HOPS;
     per-level dedup bounds each node's row count by the level count."""

@@ -34,6 +34,7 @@ EDGE_QUERIES = [
     # r13 additions: scrub drops NULL-text docs explicitly in both
     # engines; the resample decision inherits dsir's NULL handling.
     "substring_span_scrub",
+    "substring_span_islands",
     "dsir_resample_keep",
 ]
 

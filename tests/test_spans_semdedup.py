@@ -256,6 +256,68 @@ def test_span_scrub_matches_bruteforce(spark, duck):
         assert (n_removed > 0) == (dup_occ.get(doc_id, 0) > 0)
 
 
+def _brute_islands(per_doc_words: dict[int, list[str]]):
+    """From-scratch islands spec: covered positions per doc, runs of
+    consecutive positions."""
+    fp_docs: dict[str, set[int]] = defaultdict(set)
+    starts: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, ws in per_doc_words.items():
+        sp = [
+            (
+                i + 1,
+                hashlib.md5(
+                    " ".join(ws[i : i + SPAN_TOKENS]).encode()
+                ).hexdigest(),
+            )
+            for i in range(len(ws) - SPAN_TOKENS + 1)
+        ]
+        starts[doc_id] = sp
+        for _, fp in sp:
+            fp_docs[fp].add(doc_id)
+    dup = {fp for fp, ds in fp_docs.items() if len(ds) >= 2}
+    expected = {}
+    for doc_id in per_doc_words:
+        covered: set[int] = set()
+        for i, fp in starts[doc_id]:
+            if fp in dup:
+                covered.update(range(i, i + SPAN_TOKENS))
+        runs, prev = [], None
+        for j in sorted(covered):
+            if prev is not None and j == prev + 1:
+                runs[-1] += 1
+            else:
+                runs.append(1)
+            prev = j
+        expected[doc_id] = (
+            len(covered),
+            len(runs),
+            max(runs) if runs else 0,
+        )
+    return expected
+
+
+def test_span_islands_match_bruteforce(spark, duck):
+    rows = duck.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    per_doc = {
+        doc_id: re.sub(r"\s+", " ", text.strip(" ")).split(" ")
+        for doc_id, text in rows
+    }
+    expected = _brute_islands(per_doc)
+    got = {
+        r["doc_id"]: (r["n_covered"], r["n_islands"], r["max_run"])
+        for r in _df("substring_span_islands", spark).collect()
+    }
+    assert got == expected
+    # any duplicated span must surface a run of at least SPAN_TOKENS
+    for n_cov, n_isl, mx in expected.values():
+        assert (n_cov == 0) == (n_isl == 0)
+        if n_isl:
+            assert mx >= SPAN_TOKENS
+    assert any(v[1] > 0 for v in expected.values())
+
+
 def test_dsir_resample_matches_bruteforce(spark, duck):
     """The keep decision recomputed from scratch: floor(units/n_tokens)
     in IEEE double, the [500, 10000] clamp around 5000, and the
@@ -532,5 +594,23 @@ def test_dsir_spec_on_random_corpora(spark, tmp_path_factory, corpus):
     got = {
         r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
         for r in dsir_importance_weights(spark, sf).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_span_islands_spec_on_random_corpora(spark, tmp_path_factory, docs):
+    """Random 3-word corpora: overlapping dup spans merge into single
+    islands, disjoint ones stay separate — the fold over the sorted
+    covered array must agree with the from-scratch run detection in
+    every regime (no coverage, full coverage, interior gaps)."""
+    sf = _write_docs(tmp_path_factory, docs)
+    expected = _brute_islands({i: ws for i, ws in enumerate(docs)})
+    got = {
+        r["doc_id"]: (r["n_covered"], r["n_islands"], r["max_run"])
+        for r in plans.QUERIES["substring_span_islands"]
+        .fn(spark, sf)
+        .collect()
     }
     assert got == expected
