@@ -88,8 +88,8 @@ def span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(fp, doc_id, c) — the load-bearing pre-aggregation both queries
-    share: the raw span table shuffles exactly once, and every
+    """(fp, doc_id, c) — the load-bearing pre-aggregation every query
+    in this module shares: the raw span table shuffles exactly once, and every
     downstream count-distinct becomes a plain count/sum over this pair
     table — no COUNT DISTINCT ever runs an Expand over the raw span
     table (the Expand plan measured 1.5x slower at sf1)."""
@@ -212,6 +212,29 @@ def substring_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared oracle CTE chain for the position-aware queries: non-NULL
+#: docs, positional spans, the cross-doc dup set, and the DISTINCT
+#: covered positions per document.
+_SQL_COV = f"""
+w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+  WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, i,
+         md5(array_to_string(words[i:i+{SPAN_TOKENS}-1], ' ')) AS fp
+  FROM w, UNNEST(range(1, len(words) - {SPAN_TOKENS} + 2)) AS t(i)
+),
+dup AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, u.j
+  FROM s JOIN dup USING (fp), UNNEST(range(s.i, s.i + {SPAN_TOKENS})) AS u(j)
+)
+"""
+
+
 def _docs_with_dup_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w, dup_starts) — every non-NULL-text document's token
     array left-joined with the collected start positions of its spans
@@ -241,22 +264,7 @@ def _docs_with_dup_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "substring_span_scrub",
     oracle=f"""
-WITH w AS (
-  SELECT doc_id,
-         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS words
-  FROM documents
-  WHERE text IS NOT NULL
-),
-s AS (
-  SELECT doc_id, i,
-         md5(array_to_string(words[i:i+{SPAN_TOKENS}-1], ' ')) AS fp
-  FROM w, UNNEST(range(1, len(words) - {SPAN_TOKENS} + 2)) AS t(i)
-),
-dup AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
-cov AS (
-  SELECT DISTINCT s.doc_id, u.j
-  FROM s JOIN dup USING (fp), UNNEST(range(s.i, s.i + {SPAN_TOKENS})) AS u(j)
-),
+WITH {_SQL_COV},
 tok AS (
   SELECT w.doc_id, t.j, w.words[t.j] AS word
   FROM w, UNNEST(range(1, len(w.words) + 1)) AS t(j)
@@ -314,22 +322,7 @@ def substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "substring_span_islands",
     oracle=f"""
-WITH w AS (
-  SELECT doc_id,
-         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS words
-  FROM documents
-  WHERE text IS NOT NULL
-),
-s AS (
-  SELECT doc_id, i,
-         md5(array_to_string(words[i:i+{SPAN_TOKENS}-1], ' ')) AS fp
-  FROM w, UNNEST(range(1, len(words) - {SPAN_TOKENS} + 2)) AS t(i)
-),
-dup AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
-cov AS (
-  SELECT DISTINCT s.doc_id, u.j
-  FROM s JOIN dup USING (fp), UNNEST(range(s.i, s.i + {SPAN_TOKENS})) AS u(j)
-),
+WITH {_SQL_COV},
 isl AS (
   SELECT doc_id, j,
          j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS grp
