@@ -125,6 +125,35 @@ def shrink_to_budget(
     return s
 
 
+def spotlight_seen(records: list[dict]) -> dict[str, int]:
+    """name -> latest round it was spotlighted in, over already-parsed
+    canonical bench records (module-level for unit pinning, like
+    build_drop_order).
+
+    A spot block whose SCALE half was gate-rejected does NOT count as
+    coverage: every sf1 min in such a record came from steal-
+    contaminated windows (r12: the ML batch published 7.9x/4.6x ratios
+    out of a 1801-3167-jiffy block), so the batch re-enters the
+    no-repeat queue instead of being marked done. The MAIN half's
+    acceptance is not required — ratios use min-of-attempts, and the
+    scale mins are the scarce signal."""
+    seen: dict[str, int] = {}
+    for rec in records:
+        spot = rec.get("spot") or rec.get("spotlight") or {}
+        rnd = spot.get("round")
+        if not isinstance(rnd, int):
+            continue
+        acc = spot.get("accepted")
+        if isinstance(acc, list) and len(acc) == 2 and acc[1] is False:
+            continue
+        names = spot.get("names") or list(
+            spot.get("ratio") or spot.get("q_min") or {}
+        )
+        for n in names:
+            seen[n] = max(seen.get(n, rnd), rnd)
+    return seen
+
+
 def _steal_jiffies() -> int:
     try:
         with open("/proc/stat") as f:
@@ -455,7 +484,7 @@ def main() -> None:
         already-covered and push the driver's canonical run onto the
         NEXT batch — the canonical record is the coverage that counts.
         Unparseable or pre-spotlight wrappers contribute nothing."""
-        seen: dict[str, int] = {}
+        records = []
         for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
             try:
                 with open(path) as f:
@@ -468,26 +497,8 @@ def main() -> None:
                 rec = rec.get("parsed")
                 if not isinstance(rec, dict):
                     continue
-            spot = rec.get("spot") or rec.get("spotlight") or {}
-            rnd = spot.get("round")
-            if not isinstance(rnd, int):
-                continue
-            # A rejected SCALE half means every sf1 min in the record
-            # came from steal-contaminated windows (r12: the ML batch
-            # published 7.9x/4.6x ratios out of a 1801-3167-jiffy
-            # block) — that is not coverage, so the batch re-enters
-            # the queue instead of being marked done. The main half's
-            # acceptance is not required: ratios use min-of-attempts,
-            # and the scale mins are the scarce signal.
-            acc = spot.get("accepted")
-            if isinstance(acc, list) and len(acc) == 2 and acc[1] is False:
-                continue
-            names = spot.get("names") or list(
-                spot.get("ratio") or spot.get("q_min") or {}
-            )
-            for n in names:
-                seen[n] = max(seen.get(n, rnd), rnd)
-        return seen
+            records.append(rec)
+        return spotlight_seen(records)
 
     def _spotlight_names(round_no: int) -> list[str]:
         def fam(entry) -> int:

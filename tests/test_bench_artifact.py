@@ -140,3 +140,35 @@ def test_under_budget_drops_nothing():
     before = json.dumps(compact, separators=(",", ":"))
     line = shrink_to_budget(compact, build_drop_order(True, True, True))
     assert line == before
+
+
+def _spot_rec(rnd, names, accepted):
+    return {"spot": {"round": rnd, "names": names, "accepted": accepted}}
+
+
+def test_spotlight_rejected_scale_half_is_not_coverage():
+    """r12 lesson: a spot block whose sf1 half failed the noise gate
+    published contaminated mins — its batch must re-enter the queue.
+    Main-half rejection alone does NOT uncover (min-of-attempts), and
+    legacy records without an accepted list stay covered."""
+    from bench import spotlight_seen
+
+    records = [
+        _spot_rec(9, ["a", "b"], [True, True]),
+        _spot_rec(10, ["c", "d"], [False, True]),  # main rejected: covered
+        _spot_rec(12, ["e", "f"], [True, False]),  # scale rejected: NOT
+        {"spot": {"round": 7, "names": ["g"]}},  # legacy, no accepted
+        {"metric": "headline_summary"},  # no spot block at all
+    ]
+    seen = spotlight_seen(records)
+    assert seen == {"a": 9, "b": 9, "c": 10, "d": 10, "g": 7}
+    # a later ACCEPTED re-spot restores coverage at the new round
+    records.append(_spot_rec(13, ["e", "f"], [True, True]))
+    assert spotlight_seen(records)["e"] == 13
+
+
+def test_spotlight_names_fall_back_to_ratio_keys():
+    from bench import spotlight_seen
+
+    rec = {"spot": {"round": 11, "ratio": {"x": 1.2}, "accepted": [True, True]}}
+    assert spotlight_seen([rec]) == {"x": 11}

@@ -143,6 +143,7 @@ _BNLJ_OK = {
     "theta_overlap_check",      # 1-row min-day + estimate + exact-overlap attaches
     "ann_multiprobe_recall",    # five 1-row count scalars attach into the summary
     "dsir_importance_weights",  # 1-row model-totals scalar attach (r12)
+    "dsir_resample_keep",       # same attach via the shared dsir_doc_units (r13)
 }
 # (negative_sample_pairs' broadcast cross join needs no entry: its ML
 # tag already excludes it from the audit, like the other ML queries)
