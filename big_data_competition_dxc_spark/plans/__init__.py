@@ -137,6 +137,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.streaming.pystream",
         # --- round-13 additions ---
         "big_data_competition_dxc_spark.sources.pysink",
+        "big_data_competition_dxc_spark.operators.scripting",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

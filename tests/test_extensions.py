@@ -99,6 +99,45 @@ def test_python_datasource_sink_commit_protocol(spark, tmp_path):
     assert MANIFEST not in os.listdir(bad)
 
 
+def test_sql_scripting_clip_matches_dataframe_loop(spark):
+    """The scripting WHILE loop and an explicit Python-driven DataFrame
+    iteration are two routes to the same clip: recompute the three
+    passes with DataFrame aggregates and integer-cent floors, then
+    compare count, bounds, and the rounded mean exactly."""
+    import math
+
+    from big_data_competition_dxc_spark.operators.scripting import (
+        K_SIGMA,
+        N_PASSES,
+        sql_scripting_sigma_clip,
+    )
+
+    got = sql_scripting_sigma_clip(spark, SF_TEST_DIR).collect()[0]
+
+    cents = [
+        r["c"]
+        for r in spark.table("li_cents").collect()  # view left registered
+    ]
+    lo, hi = -(2**63 - 1), 2**63 - 1
+    for _ in range(N_PASSES):
+        kept = [c for c in cents if lo <= c <= hi]
+        n = len(kept)
+        s = float(sum(kept))
+        sq = float(sum(c * c for c in kept))
+        m = s / n
+        sd = math.sqrt((sq - (s * s) / n) / n)
+        lo = math.floor(m - K_SIGMA * sd)
+        hi = math.floor(m + K_SIGMA * sd)
+    kept = [c for c in cents if lo <= c <= hi]
+    assert (got["lo_cents"], got["hi_cents"]) == (lo, hi)
+    assert got["n_kept"] == len(kept)
+    mean = float(sum(kept)) / len(kept) / 100.0
+    assert got["kept_mean"] == math.floor(mean * 10000.0 + 0.5) / 10000.0
+    # the loop must actually move: final bounds are finite and narrower
+    # than the full data range, and something was clipped
+    assert got["n_kept"] < len(cents)
+
+
 def test_recursive_reach_anchored_and_bounded(spark):
     """The source supplier sits at hops 0; no node exceeds MAX_HOPS;
     per-level dedup bounds each node's row count by the level count."""
