@@ -138,6 +138,7 @@ def load_all() -> None:
         # --- round-13 additions ---
         "big_data_competition_dxc_spark.sources.pysink",
         "big_data_competition_dxc_spark.operators.scripting",
+        "big_data_competition_dxc_spark.streaming.state_reader",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

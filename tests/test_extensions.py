@@ -99,6 +99,58 @@ def test_python_datasource_sink_commit_protocol(spark, tmp_path):
     assert MANIFEST not in os.listdir(bad)
 
 
+def test_statestore_metadata_describes_the_operator(spark, tmp_path):
+    """The state-metadata read surface, pinned directly: one
+    stateStoreSave operator, batch ids covering the availableNow
+    drain, state partition count equal to the session's shuffle
+    partitions, and the offline state row count equal to the number
+    of distinct keys."""
+    import uuid
+
+    from big_data_competition_dxc_spark.functions.rounding import to_units
+    from big_data_competition_dxc_spark.streaming.rollup_stream import (
+        nanos_conf_scope,
+        staged_events_stream,
+    )
+
+    stream, stage = staged_events_stream(spark, SF_TEST_DIR)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(to_units(F.col("value"), 2)).alias("c")
+    )
+    ckpt = str(tmp_path / "ck")
+    sink = f"sink_{uuid.uuid4().hex[:8]}"
+    try:
+        with nanos_conf_scope(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        meta = spark.read.format("state-metadata").load(ckpt).collect()
+        assert len(meta) == 1
+        m = meta[0]
+        assert m["operatorName"] == "stateStoreSave"
+        assert m["minBatchId"] == 0 and m["maxBatchId"] >= 0
+        assert m["numPartitions"] == int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        state = spark.read.format("statestore").load(ckpt)
+        n_keys = load(spark, SF_TEST_DIR, "events").select(
+            "event_type"
+        ).distinct().count()
+        assert state.count() == n_keys
+        assert state.select(F.max("partition_id")).first()[0] < m["numPartitions"]
+    finally:
+        import shutil
+
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def test_sql_scripting_clip_matches_dataframe_loop(spark):
     """The scripting WHILE loop and an explicit Python-driven DataFrame
     iteration are two routes to the same clip: recompute the three
