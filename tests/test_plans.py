@@ -289,6 +289,10 @@ _SHUFFLE_BUDGETS = {
     "table_profile": 2,                # ONE 6-distinct Expand agg (partial + final)
     "table_diff_audit": 3,             # one hash exchange per snapshot side + 1-row agg
     "neardup_threshold_curve": 7,      # block pair join (2 sides) + vbest + 1-row sums
+    "substring_span_scrub": 3,         # span_pairs agg + dup-fp agg + per-doc start collect
+    "substring_span_islands": 3,       # same upstream; run fold is per-row, no extra exchange
+    "dsir_resample_keep": 4,           # same 4 as the weights query — the decision adds none
+    "dsir_importance_weights": 4,      # model agg + totals + token join partials + doc agg
 }
 
 
