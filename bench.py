@@ -525,8 +525,30 @@ def main() -> None:
     # re-attempting, memoized queries like knn published a warm sf1 min
     # against a cold sf0.1 single attempt — a flattering 0.4x "ratio"
     # that measured the memo, not the scaling).
-    main_run = gated_block(sf_dir, min_attempts=2)
-    _clear_session_memos()
+    # Builder-side SPOT-ONLY mode: skip the headline block (and pair it
+    # with SPARK_GRAFT_SKIP_SCALE) so a steal-rejected spotlight batch
+    # can re-measure in a window that has NOT already burned the host's
+    # CPU-burst credit on ~6 minutes of headline+scale blocks first —
+    # the r14 diagnosis of why spot sf1 halves kept reading 15k+ steal
+    # at the END of a full run while the same machine reads ~1 steal/s
+    # idle. The artifact marks itself headline_skipped; dev-only (the
+    # canonical driver run never sets this).
+    spot_only = bool(os.environ.get("SPARK_GRAFT_SPOT_ONLY"))
+    if spot_only:
+        main_run = {
+            "total": None,
+            "timings": {},
+            "queries_min": {},
+            "rows": {},
+            "memo_warm": {},
+            "steal": None,
+            "probe": None,
+            "accepted": False,
+            "attempts": [],
+        }
+    else:
+        main_run = gated_block(sf_dir, min_attempts=2)
+        _clear_session_memos()
     timings = main_run["timings"]
     total = main_run["total"]
     steal_main = main_run["steal"]
@@ -535,6 +557,8 @@ def main() -> None:
     attempts = main_run["attempts"]
 
     # ---- scale check: same headline set at 10x (see docstring) ----
+    # (spot-only mode resolves sf1_dir — the spotlight's scale half
+    # needs it — but skips the headline-at-10x block itself)
     scale_check = None
     sf1_dir = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
@@ -551,7 +575,7 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"# scale-data generation failed: {exc}", file=sys.stderr)
                 sf1_dir = None
-        if sf1_dir and os.path.isdir(sf1_dir):
+        if sf1_dir and os.path.isdir(sf1_dir) and not spot_only:
             sc = gated_block(sf1_dir, min_attempts=2)
             _clear_session_memos()
             sc_timings, sc_rows = sc["timings"], sc["rows"]
@@ -611,9 +635,17 @@ def main() -> None:
         # so an override can't push the driver's canonical queue.
         spot_env = os.environ.get("SPARK_GRAFT_SPOT_NAMES")
         if spot_env:
-            spot_names = [
-                n for n in spot_env.split(",") if n in plans.QUERIES
-            ]
+            requested = [n for n in spot_env.split(",") if n]
+            unknown = [n for n in requested if n not in plans.QUERIES]
+            if unknown:
+                # fail fast: a typo would otherwise silently measure
+                # fewer (or zero) queries, defeating the clean-window
+                # re-measurement this override exists for
+                raise SystemExit(
+                    f"SPARK_GRAFT_SPOT_NAMES: unknown queries {unknown} "
+                    f"(registry has {len(plans.QUERIES)} names)"
+                )
+            spot_names = requested
         else:
             spot_names = _spotlight_names(round_no)
         spot_set = {n: plans.QUERIES[n] for n in spot_names}
@@ -689,7 +721,9 @@ def main() -> None:
         "cpu_probe_sec": probe,
         # raw wall rescaled to the r4 reference machine speed (see
         # PROBE_BASELINE comment) — the number to compare across rounds
-        "value_probe_normalized": _normalized(total, probe),
+        "value_probe_normalized": (
+            _normalized(total, probe) if total is not None else None
+        ),
         "probe_baseline_sec": PROBE_BASELINE,
         "noise_gate": {
             "steal_gate": STEAL_GATE,
@@ -705,6 +739,8 @@ def main() -> None:
             else {}
         ),
     }
+    if spot_only:
+        out["headline_skipped"] = True  # dev spot-only artifact marker
     if scale_check is not None:
         out["scale_check"] = scale_check
     if spotlight is not None:

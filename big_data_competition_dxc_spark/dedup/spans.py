@@ -52,15 +52,16 @@ def _words(col: str = "text") -> Column:
     return F.split(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "), " ")
 
 
-def span_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, i, fp) — one row per rolling SPAN_TOKENS-gram with its
-    1-based start position, md5-hashed.
+def spans_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, fp) over an ARBITRARY (doc_id, text) frame — the
+    rolling-k-gram expression behind :func:`span_starts`, factored so
+    compositions (textops/release.py scrubs the post-exact-dedup keeper
+    set, not the raw table) share the one span definition.
 
     The ``when`` guard matters: Spark's ``sequence(1, n)`` with n < 1
     yields a DESCENDING sequence ([1, 0]), not an empty one, so docs
     shorter than SPAN_TOKENS must short-circuit to an empty array
     (DuckDB's ``range`` is empty there, and the engines must agree)."""
-    docs = load(spark, sf_dir, "documents")
     spans = F.when(
         F.size("w") >= SPAN_TOKENS,
         F.transform(
@@ -80,6 +81,13 @@ def span_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, fp) — one row per rolling SPAN_TOKENS-gram of the
+    ``documents`` table with its 1-based start position, md5-hashed
+    (see :func:`spans_of` for the expression)."""
+    return spans_of(load(spark, sf_dir, "documents"))
+
+
 def span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp) — the position-free view of :func:`span_starts`
     (Catalyst prunes the unused position column out of the scan-side
@@ -97,6 +105,23 @@ def span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_fingerprints(spark, sf_dir)
         .groupBy("fp", "doc_id")
         .agg(F.count("*").alias("c"))
+    )
+
+
+def dup_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fp) — the cross-document duplicated-fingerprint set: spans whose
+    fingerprint appears in >= 2 distinct documents. The load-bearing
+    dup-set DEFINITION, factored once (mirrors the oracle side's
+    ``dup`` CTE) so the dedup report and the position-aware
+    scrub/islands upstream can never drift apart. Derived from the
+    shared ``span_pairs`` pre-agg: a plain count over (fp, doc_id) rows,
+    no COUNT DISTINCT Expand."""
+    return (
+        span_pairs(spark, sf_dir)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fp")
     )
 
 
@@ -142,15 +167,9 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SPAN_TOKENS} tokens contribute no spans and drop out (matching the
     empty range() on the oracle side)."""
     pairs = span_pairs(spark, sf_dir)
-    dup_fps = (
-        pairs.groupBy("fp")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("fp")
-    )
     per_doc = pairs.groupBy("doc_id").agg(F.sum("c").alias("n_spans"))
     per_dup = (
-        pairs.join(dup_fps, "fp")
+        pairs.join(dup_fps(spark, sf_dir), "fp")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_dup_occ"),
@@ -242,16 +261,9 @@ def _docs_with_dup_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and islands queries: dup-fp set from the ``span_pairs`` pre-agg,
     ONE per-document array after the fp join — everything downstream
     is per-row JVM higher-order functions."""
-    dup_fps = (
-        span_pairs(spark, sf_dir)
-        .groupBy("fp")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("fp")
-    )
     covered = (
         span_starts(spark, sf_dir)
-        .join(dup_fps, "fp")
+        .join(dup_fps(spark, sf_dir), "fp")
         .groupBy("doc_id")
         .agg(F.collect_set("i").alias("dup_starts"))
     )

@@ -32,11 +32,33 @@ per-iteration cost.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources import load
+
+
+@contextmanager
+def scripting_conf_scope(spark: SparkSession):
+    """Hold ``spark.sql.scripting.enabled`` for the duration of the
+    script call, restoring the prior session value on exit (the same
+    no-leaked-confs discipline as streaming's ``nanos_conf_scope``).
+    Safe to scope around the ``spark.sql`` call alone: a SQL script
+    executes eagerly inside that call (DECLARE/WHILE run then; only the
+    final statement's result comes back as a DataFrame)."""
+    key = "spark.sql.scripting.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 #: Clip width in standard deviations. 1.0 (aggressive) so every pass
 #: moves the bounds on the fixture's wide price distribution — 2.5
@@ -107,8 +129,20 @@ def sql_scripting_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({K_SIGMA}-sigma, {N_PASSES} passes), and the final bounds. The
     DuckDB oracle unrolls the identical iteration as chained CTEs —
     the procedural and set-based formulations must agree bit-exactly
-    (see module docstring for the integer-cents determinism chain)."""
-    spark.conf.set("spark.sql.scripting.enabled", "true")
+    (see module docstring for the integer-cents determinism chain).
+
+    Empty-pass guard: each pass computes the new bounds AND the kept
+    count in ONE scan into scratch variables; if a clip ever kept zero
+    rows (unreachable on TPC-H prices at K_SIGMA=1, but nothing
+    enforces that) the NULL-bound SET is discarded and the loop LEAVEs
+    with the previous pass's bounds instead of silently emitting an
+    empty result. The unrolled oracle assumes the non-empty regime —
+    the guard keeps the procedural side total without adding scans.
+
+    Session hygiene: ``spark.sql.scripting.enabled`` is held only for
+    the script call (``scripting_conf_scope``) and the ``li_cents``
+    temp view is dropped before returning — analysis is eager, so the
+    returned DataFrame's resolved plan no longer needs the view."""
     load(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
         .cast("bigint")
@@ -116,19 +150,27 @@ def sql_scripting_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("li_cents")
     lo = _BOUND.format(sign="-", sq=_SPARK_SQ)
     hi = _BOUND.format(sign="+", sq=_SPARK_SQ)
-    return spark.sql(
-        f"""
+    try:
+        with scripting_conf_scope(spark):
+            return spark.sql(
+                f"""
 BEGIN
   DECLARE lo BIGINT DEFAULT -9223372036854775807;
   DECLARE hi BIGINT DEFAULT  9223372036854775807;
+  DECLARE nlo BIGINT; DECLARE nhi BIGINT; DECLARE n BIGINT;
   DECLARE it INT DEFAULT 0;
-  WHILE it < {N_PASSES} DO
-    SET (lo, hi) = (SELECT {lo}, {hi} FROM li_cents WHERE c BETWEEN lo AND hi);
+  clip: WHILE it < {N_PASSES} DO
+    SET (nlo, nhi, n) = (SELECT {lo}, {hi}, COUNT(*)
+                         FROM li_cents WHERE c BETWEEN lo AND hi);
+    IF n = 0 THEN LEAVE clip; END IF;
+    SET lo = nlo; SET hi = nhi;
     SET it = it + 1;
-  END WHILE;
+  END WHILE clip;
   {_FINAL},
          lo AS lo_cents, hi AS hi_cents
   FROM li_cents WHERE c BETWEEN lo AND hi;
 END
 """
-    )
+            )
+    finally:
+        spark.catalog.dropTempView("li_cents")

@@ -80,7 +80,22 @@ class AuditedSinkWriter(DataSourceWriter):
         os.rename(tmp, os.path.join(self.path, fname))
         return _PartCommit(fname, n)
 
+    def _sweep_inprogress(self):
+        """Remove temp files from tasks that crashed mid-write: those
+        never reached their rename, so no commit message names them and
+        abort()'s message-driven removal can't see them. Invisible to
+        manifest readers either way, but garbage accumulates across
+        retries without this sweep."""
+        import glob
+
+        for tmp in glob.glob(os.path.join(self.path, ".*.inprogress")):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
     def commit(self, messages):
+        self._sweep_inprogress()
         manifest = {
             "files": sorted(m.file for m in messages),
             "parts": {m.file: m.rows for m in messages},
@@ -92,6 +107,7 @@ class AuditedSinkWriter(DataSourceWriter):
         os.rename(tmp, os.path.join(self.path, MANIFEST))
 
     def abort(self, messages):
+        self._sweep_inprogress()
         for m in messages:
             if m is not None:
                 try:

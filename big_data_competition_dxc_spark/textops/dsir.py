@@ -38,7 +38,7 @@ keep/drop compare can never sit on a float knife edge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint, sql_md5_bigint
@@ -65,6 +65,32 @@ TARGET_LANG = "en"
 KEEP_BASE_BPS = 5000
 KEEP_MIN_BPS = 500
 KEEP_MAX_BPS = 10000
+
+#: The keep-probability (basis points) and uniform-draw SQL fragments,
+#: parameterized on the table alias holding (units, n_tokens, doc_id) —
+#: factored so the standalone resample query and compositions
+#: (textops/release.py) can never drift on the decision definition.
+SQL_KEEP_BPS = (
+    f"CAST(LEAST({KEEP_MAX_BPS}, GREATEST({KEEP_MIN_BPS}, {KEEP_BASE_BPS}"
+    " + CAST(floor(CAST({t}.units AS DOUBLE) / {t}.n_tokens) AS BIGINT)))"
+    " AS BIGINT)"
+)
+SQL_KEEP_U = "({md5} % 10000)"
+
+
+def keep_bps_col() -> Column:
+    """Keep-probability in basis points over (units, n_tokens) columns —
+    the Spark twin of :data:`SQL_KEEP_BPS`."""
+    avg_units = F.floor(
+        F.col("units").cast("double") / F.col("n_tokens")
+    ).cast("bigint")
+    return F.least(
+        F.lit(KEEP_MAX_BPS).cast("bigint"),
+        F.greatest(
+            F.lit(KEEP_MIN_BPS).cast("bigint"),
+            (F.lit(KEEP_BASE_BPS) + avg_units).cast("bigint"),
+        ),
+    )
 
 
 def dsir_doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,11 +207,8 @@ WITH {_SQL_DSIR},
 scored AS (
   SELECT doc_id, n_tokens,
          {sql_round(f"units / {_UNIT}.0", 4)} AS dsir_logratio,
-         CAST(LEAST({KEEP_MAX_BPS}, GREATEST({KEEP_MIN_BPS},
-              {KEEP_BASE_BPS}
-              + CAST(floor(CAST(units AS DOUBLE) / n_tokens) AS BIGINT)))
-              AS BIGINT) AS keep_bps,
-         ({sql_md5_bigint("CAST(doc_id AS VARCHAR)")} % 10000) AS u
+         {SQL_KEEP_BPS.format(t="doc")} AS keep_bps,
+         {SQL_KEEP_U.format(md5=sql_md5_bigint("CAST(doc_id AS VARCHAR)"))} AS u
   FROM doc
 )
 SELECT doc_id, n_tokens, dsir_logratio, keep_bps,
@@ -206,16 +229,7 @@ def dsir_resample_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental curation). Zero shuffles beyond the weights
     computation itself."""
     doc = dsir_doc_units(spark, sf_dir)
-    avg_units = F.floor(
-        F.col("units").cast("double") / F.col("n_tokens")
-    ).cast("bigint")
-    keep_bps = F.least(
-        F.lit(KEEP_MAX_BPS).cast("bigint"),
-        F.greatest(
-            F.lit(KEEP_MIN_BPS).cast("bigint"),
-            (F.lit(KEEP_BASE_BPS) + avg_units).cast("bigint"),
-        ),
-    )
+    keep_bps = keep_bps_col()
     u = md5_bigint(F.col("doc_id").cast("string")) % 10000
     return doc.select(
         "doc_id",

@@ -70,6 +70,10 @@ def test_python_datasource_sink_commit_protocol(spark, tmp_path):
     os.makedirs(out)
     with open(os.path.join(out, "part-deadbeefdecoy.txt"), "w") as f:
         f.write("1|Z|1\n")
+    # a crashed task's mid-write temp: never renamed, never in any
+    # commit message — commit() must sweep it
+    with open(os.path.join(out, ".part-stale.txt.inprogress"), "w") as f:
+        f.write("2|Z|2\n")
     df = spark.createDataFrame(
         [(i, "AB"[i % 2], i * 100) for i in range(40)],
         "k bigint, status string, cents bigint",
@@ -83,6 +87,7 @@ def test_python_datasource_sink_commit_protocol(spark, tmp_path):
     assert sum(manifest["parts"].values()) == 40
     on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
     assert set(manifest["files"]) == on_disk - {"part-deadbeefdecoy.txt"}
+    assert not [p for p in os.listdir(out) if p.endswith(".inprogress")]
 
     # abort path: a poisoned partition fails the job -> no manifest
     bad = str(tmp_path / "bad")
@@ -97,6 +102,8 @@ def test_python_datasource_sink_commit_protocol(spark, tmp_path):
             "append"
         ).save()
     assert MANIFEST not in os.listdir(bad)
+    # abort() sweeps the failed task's mid-write temp too
+    assert not [p for p in os.listdir(bad) if p.endswith(".inprogress")]
 
 
 def test_statestore_metadata_describes_the_operator(spark, tmp_path):
@@ -164,11 +171,19 @@ def test_sql_scripting_clip_matches_dataframe_loop(spark):
         sql_scripting_sigma_clip,
     )
 
+    conf_before = spark.conf.get("spark.sql.scripting.enabled", None)
     got = sql_scripting_sigma_clip(spark, SF_TEST_DIR).collect()[0]
 
+    # session hygiene: the query must not leak its temp view or the
+    # scripting conf into the shared session
+    assert not spark.catalog.tableExists("li_cents")
+    assert spark.conf.get("spark.sql.scripting.enabled", None) == conf_before
+
     cents = [
-        r["c"]
-        for r in spark.table("li_cents").collect()  # view left registered
+        int(math.floor(r["l_extendedprice"] * 100.0 + 0.5))
+        for r in load(spark, SF_TEST_DIR, "lineitem")
+        .select("l_extendedprice")
+        .collect()
     ]
     lo, hi = -(2**63 - 1), 2**63 - 1
     for _ in range(N_PASSES):

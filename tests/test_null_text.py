@@ -36,6 +36,9 @@ EDGE_QUERIES = [
     "substring_span_scrub",
     "substring_span_islands",
     "dsir_resample_keep",
+    # r14 composition: NULL/blank text must land in the 'empty' ledger
+    # tier in BOTH engines, never reach the scrub/gate stages.
+    "corpus_release_pipeline",
 ]
 
 

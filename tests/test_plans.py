@@ -144,6 +144,7 @@ _BNLJ_OK = {
     "ann_multiprobe_recall",    # five 1-row count scalars attach into the summary
     "dsir_importance_weights",  # 1-row model-totals scalar attach (r12)
     "dsir_resample_keep",       # same attach via the shared dsir_doc_units (r13)
+    "corpus_release_pipeline",  # same dsir model-totals attach, composed (r14)
 }
 # (negative_sample_pairs' broadcast cross join needs no entry: its ML
 # tag already excludes it from the audit, like the other ML queries)
@@ -293,6 +294,10 @@ _SHUFFLE_BUDGETS = {
     "substring_span_islands": 3,       # same upstream; run fold is per-row, no extra exchange
     "dsir_resample_keep": 4,           # same 4 as the weights query — the decision adds none
     "dsir_importance_weights": 4,      # model agg + totals + token join partials + doc agg
+    # post-checkpoint plan (the keeper window's full-text shuffle runs
+    # once at materialization): span pre-agg + dup-fp agg + covered
+    # collect + the dsir 4 — the union itself adds none
+    "corpus_release_pipeline": 7,
 }
 
 
