@@ -143,13 +143,14 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
       eager driver step.
 
     The gate itself is a cheap UPPER BOUND on the node count —
-    ``max(l_suppkey)`` over the column-pruned lineitem scan (map-side
-    partial max, no distinct shuffle; ids are positive integers so the
-    max bounds the distinct count) — so neither the expensive edge
-    projection nor a full key repartition is ever paid just to decide
-    the strategy. Measured A/B at
-    sf1 (10k nodes / 4.5M edges / 1.24B triangles): dense 24.0s vs
-    join 99.7s, identical row.
+    a map-side ``approx_count_distinct`` estimate with a 10% pad (see
+    ``_node_upper_bound`` — the r9-r13 ``max(l_suppkey)`` bound broke
+    the slow way on the r14 sf1 fixture's sparse id scheme) — so
+    neither the expensive edge projection nor a full key repartition
+    is ever paid just to decide the strategy. Measured A/B at
+    sf1 (10k nodes / 4.5M edges / 1.24B triangles): dense 25.2s vs
+    join 189.5s cold in the same r14 window (24.0s vs 99.7s in the r8
+    window), identical row both times.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
@@ -176,19 +177,24 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _node_upper_bound(li) -> int:
-    """Hard upper bound on the distinct supplier count WITHOUT a
-    distinct shuffle: supplier ids are positive integers, so
-    ``max(l_suppkey)`` bounds the distinct count from above. The
-    column-pruned scan aggregates map-side (one partial max per
-    partition, a 32-row final exchange) — the r8 gate's
-    ``distinct().count()`` paid a full hash-repartition of every
-    supplier key just to pick a strategy, which at 100 TB is a whole
-    shuffle spent on plan selection. Any id scheme where max >> count
-    (hashed/sparse ids) over-bounds and falls back to the join
-    pipeline — the safe direction: the dense kernel's contract needs a
-    true upper bound, never an underestimate."""
-    row = li.agg(F.max("l_suppkey")).first()
-    return int(row[0] or 0)
+    """Cheap node-count estimate for the strategy gate WITHOUT a
+    distinct shuffle: ``approx_count_distinct`` (HLL++) aggregates
+    map-side (partial sketches merge in a 1-row final exchange, same
+    cost shape as a max()), padded by 10% for the sketch's rsd so a
+    borderline graph errs toward the join path. The r8 gate's
+    ``distinct().count()`` paid a full hash-repartition just to pick a
+    strategy; the r9-r13 gate used ``max(l_suppkey)`` as a free upper
+    bound, but sparse id schemes break it the EXPENSIVE way — the r14
+    sf1 fixture ships max(l_suppkey)=90,000,999 over 10,000 distinct
+    suppliers, which silently parked the query on the ~100s join path
+    when the 24s dense kernel applied (the slow strategy, not a wrong
+    answer). An estimate is safe here because the gate only PICKS the
+    strategy: the dense kernel indexes the actual distinct nodes and
+    sizes its bitset matrix from the true count, so a near-boundary
+    under-estimate costs a slightly-above-32MiB broadcast, never
+    correctness."""
+    row = li.agg(F.approx_count_distinct("l_suppkey").alias("n")).first()
+    return int((row[0] or 0) * 1.10)
 
 
 def _dense_counts(
