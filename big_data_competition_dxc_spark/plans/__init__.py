@@ -141,6 +141,7 @@ def load_all() -> None:
         "big_data_competition_dxc_spark.streaming.state_reader",
         # --- round-14 additions ---
         "big_data_competition_dxc_spark.textops.release",
+        "big_data_competition_dxc_spark.operators.collations",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

@@ -677,3 +677,23 @@ def test_python_datasource_stream_verifies_content(spark):
         assert r["n_verified"] == r["n"]
         assert r["min_id"] == r["bucket"]
         assert r["max_id"] == total - N_BUCKETS + r["bucket"]
+
+
+def test_collation_is_load_bearing(spark):
+    """The UTF8_LCASE grouping must MERGE case variants the binary
+    collation keeps apart (proving the collation, not the data, does
+    the normalization), conserve the total row count, and emit the
+    lowercase canonical form per group."""
+    from big_data_competition_dxc_spark.operators.collations import (
+        _MIXED,
+        collated_group_counts,
+    )
+
+    rows = collated_group_counts(spark, SF_TEST_DIR).collect()
+    docs = load(spark, SF_TEST_DIR, "documents")
+    n_binary = docs.selectExpr(f"{_MIXED} AS k").distinct().count()
+    assert n_binary > len(rows)  # case variants merged by the collation
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(r["lang_ci"] == r["lang_ci"].lower() for r in rows)
+    # the session must not keep the helper view
+    assert not spark.catalog.tableExists("docs_for_collation")
