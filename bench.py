@@ -55,6 +55,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -376,16 +377,30 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
 
     def _round_no(path: str) -> int:
-        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
-        return int(digits) if digits else -1
+        # bench_r12_dev2.json must parse as round 12, not 122 — take
+        # only the digits attached to the `_r` marker.
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
 
-    def _trailing_mins() -> tuple[dict[str, float], dict[str, float], int]:
+    def _trailing_mins() -> tuple[
+        dict[str, float], dict[str, float], dict[str, float], dict[str, float], int
+    ]:
         """Per-query trailing minimum across every recorded bench
-        artifact (main block and scale block separately), plus the
+        artifact (main block and scale block separately), the same
+        minimum restricted to the LAST TWO bench rounds, plus the
         upcoming round number (1 + latest canonical round). A current
-        min above 1.5x its trailing min is flagged as a regression-or-
-        noise item to explain — advisory next to the noise gate, since
-        historical artifacts mix machine speeds.
+        min is flagged as a regression-or-noise item to explain only
+        when it is above 1.5x the all-history min AND above
+        1.3x + 0.25s the recent min — advisory next to the noise gate.
+        The recent band matters because the all-history min is a
+        RATCHET: it converges on the best single reading ever recorded
+        (e.g. minhash_dedup_verified's 1.21s, one r12 window, against
+        a 1.6-2.2s r8-r14 band), after which every normal reading of a
+        jittery family flags forever; the fixtures also regenerate
+        per round (id schemes and document content shift), so readings
+        from distant rounds are not strictly comparable. The absolute
+        0.25s guard keeps sub-second queries from flagging on JVM/GC
+        noise that is below local-mode measurement resolution.
 
         Three artifact shapes coexist: the committed bench_r*_dev.json
         files are this script's RAW full line; the canonical
@@ -397,6 +412,8 @@ def main() -> None:
         wrappers contribute nothing."""
         main_min: dict[str, float] = {}
         scale_min: dict[str, float] = {}
+        recent_main: dict[str, float] = {}
+        recent_scale: dict[str, float] = {}
         latest = 0
 
         def _absorb(target: dict[str, float], qs: dict) -> None:
@@ -405,12 +422,24 @@ def main() -> None:
                     if n not in target or v < target[n]:
                         target[n] = v
 
+        # dev artifacts number up (bench_r13_dev2.json, ...) — the old
+        # `_dev.json` glob saw only the first per round, so the recent
+        # window missed most committed readings while still absorbing
+        # old outliers. Rejected-window artifacts are included too:
+        # a steal-contaminated reading is high, and mins only absorb
+        # downward, so they cannot pollute the floor.
         paths = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
-            os.path.join(here, "bench_r*_dev.json")
+            os.path.join(here, "bench_r*_dev*.json")
         )
         for path in paths:
             if "BENCH_r" in os.path.basename(path):
                 latest = max(latest, _round_no(path))
+        # Dev artifacts of the current (not-yet-canonical) round also
+        # count toward the recency cutoff so an in-round re-measurement
+        # compares against its own round's readings.
+        all_rounds = [_round_no(p) for p in paths]
+        newest = max([latest] + [r for r in all_rounds if r > 0], default=0)
+        for path in paths:
             try:
                 with open(path) as f:
                     rec = json.load(f)
@@ -422,28 +451,52 @@ def main() -> None:
                 rec = rec.get("parsed")
                 if not isinstance(rec, dict):
                     continue
+            is_recent = _round_no(path) >= newest - 1
             if rec.get("metric") == "headline_summary":  # compact shape
-                _absorb(main_min, rec.get("q_min"))
-                _absorb(scale_min, (rec.get("scale") or {}).get("q_min"))
-                continue
-            for target, block in (
-                (main_min, rec),
-                (scale_min, rec.get("scale_check") or {}),
-            ):
-                _absorb(
-                    target,
-                    block.get("queries_min_of_attempts") or block.get("queries"),
+                blocks = (
+                    (main_min, recent_main, rec.get("q_min")),
+                    (scale_min, recent_scale, (rec.get("scale") or {}).get("q_min")),
                 )
-        return main_min, scale_min, latest + 1
+            else:
+                sc = rec.get("scale_check") or {}
+                blocks = (
+                    (
+                        main_min,
+                        recent_main,
+                        rec.get("queries_min_of_attempts") or rec.get("queries"),
+                    ),
+                    (
+                        scale_min,
+                        recent_scale,
+                        sc.get("queries_min_of_attempts") or sc.get("queries"),
+                    ),
+                )
+            for target, recent, qs in blocks:
+                _absorb(target, qs)
+                if is_recent:
+                    _absorb(recent, qs)
+        return main_min, scale_min, recent_main, recent_scale, latest + 1
 
-    trail_main, trail_scale, round_no = _trailing_mins()
+    trail_main, trail_scale, recent_main, recent_scale, round_no = _trailing_mins()
 
-    def _trailing_flags(current: dict[str, float], trail: dict[str, float]) -> dict:
-        return {
-            n: {"current_min": v, "trailing_min": trail[n]}
-            for n, v in current.items()
-            if v > 0 and n in trail and v > 1.5 * trail[n]
-        }
+    def _trailing_flags(
+        current: dict[str, float],
+        trail: dict[str, float],
+        recent: dict[str, float],
+    ) -> dict:
+        flags = {}
+        for n, v in current.items():
+            if not (v > 0 and n in trail and v > 1.5 * trail[n]):
+                continue
+            r = recent.get(n)
+            # No recent reading (first wall-clock record since the
+            # window): the all-history rule stands alone.
+            if r is not None and not (v > 1.3 * r and v - r > 0.25):
+                continue
+            flags[n] = {"current_min": v, "trailing_min": trail[n]}
+            if r is not None:
+                flags[n]["recent_min"] = r
+        return flags
 
     # Spotlight rotation: the headline set has been frozen since r6
     # (modulo the documented r8 addition, see the compact-line note), so
@@ -620,7 +673,9 @@ def main() -> None:
                     "accepted": sc["accepted"],
                     "attempts": sc["attempts"],
                 },
-                "trailing_flags": _trailing_flags(sc_min, trail_scale),
+                "trailing_flags": _trailing_flags(
+                    sc_min, trail_scale, recent_scale
+                ),
             }
 
     # ---- spotlight block: rotating per-round coverage (see
@@ -734,7 +789,7 @@ def main() -> None:
         # only comparable when this run is at the history's sf (0.1) —
         # a dev run at another sf must not emit bogus flags
         "trailing_flags": (
-            _trailing_flags(main_run["queries_min"], trail_main)
+            _trailing_flags(main_run["queries_min"], trail_main, recent_main)
             if sf == "0.1"
             else {}
         ),
