@@ -28,11 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_to, sql_round
 from ..plans.registry import query
 from ..sources import load
 
 QMAX = 127
 ERR_UNITS = 10**12  # squared-error fixed-point grid
+SHORTLIST = 15  # quantized-score candidates per query before exact re-rank
 
 _QUANT_ORACLE = f"""
 WITH t AS (
@@ -99,4 +101,167 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("dim"),
         F.max(F.abs(F.col("qv"))).cast("bigint").alias("q_absmax"),
         F.sum("sq_units").cast("bigint").alias("sq_err_units"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized retrieval: int8 shortlist -> exact re-rank
+# ---------------------------------------------------------------------------
+#
+# The serving-time payoff of the audit above: score candidates with the
+# QUANTIZED arrays (4x less memory traffic, integer dot products), keep a
+# small per-query shortlist, and spend full-precision arithmetic only on
+# the shortlist (asymmetric shortlist-then-rerank as in IVFADC / ScaNN;
+# Jegou et al. 2011, Guo et al. 2020). Determinism across engines: the
+# quantized arrays hold integers <= 127, so a 64-dim dot product stays an
+# exact integer under IEEE double accumulation on BOTH engines
+# (list_dot_product / the zip_with fold); every scale/norm is derived
+# from float32 inputs by the identical expression tree; rankings compare
+# ROUNDED scores with vec_id tie-breaks.
+
+N_Q_QUERIES = 10  # same bounded query-set convention as ann_cosine_topk
+Q_TOPK = 5
+
+_QSIM = "(((list_dot_product({qa}, {ca}) * {qs}) * {cs}) / ({qn} * {cn}))"
+_COS = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+_RERANK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / {QMAX}.0 AS scale,
+         sqrt(list_dot_product(v, v)) AS nrm
+  FROM e
+),
+z AS (
+  SELECT vec_id, scale, nrm,
+         list_transform(v, x -> floor(x / scale + 0.5)) AS qa
+  FROM s
+),
+qs AS (
+  SELECT vec_id AS q_id, scale AS qscale, nrm AS qnrm, qa AS qqa
+  FROM z WHERE vec_id < {N_Q_QUERIES}
+),
+p AS (
+  SELECT qs.q_id, z.vec_id,
+         {sql_round(_QSIM.format(qa="qs.qqa", ca="z.qa", qs="qs.qscale",
+                                 cs="z.scale", qn="qs.qnrm", cn="z.nrm"), 6)}
+           AS qsim
+  FROM qs, z WHERE z.vec_id <> qs.q_id
+),
+sl AS (
+  SELECT q_id, vec_id, qsim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qsim DESC, vec_id)
+           AS qrn
+  FROM p
+),
+short AS (SELECT q_id, vec_id, qsim FROM sl WHERE qrn <= {SHORTLIST}),
+rr AS (
+  SELECT short.q_id, short.vec_id, short.qsim,
+         {sql_round(_COS.format(a="sq.v", b="sc.v"), 4)} AS sim
+  FROM short
+  JOIN s sq ON sq.vec_id = short.q_id
+  JOIN s sc ON sc.vec_id = short.vec_id
+)
+SELECT q_id, vec_id AS neighbor_id, qsim, sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+            AS BIGINT) AS rn
+FROM rr
+QUALIFY rn <= {Q_TOPK}
+"""
+
+
+@query(
+    "ann_quantized_rerank",
+    oracle=_RERANK_ORACLE,
+    tags=("similarity", "ann", "quantize"),
+)
+def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quantized retrieval: shortlist {SHORTLIST} candidates
+    per query by int8-quantized score, then exact-cosine re-rank ONLY
+    the shortlist to top-{Q_TOPK}. The first pass touches nothing but
+    the quantized arrays and two scalars per vector (the 100 TB win:
+    ~4x less scan bandwidth and integer multiplies); full-precision
+    vectors are re-fetched for shortlist rows only — {SHORTLIST} per
+    query, not the corpus."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    base = e.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / QMAX).alias("scale"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    z = base.select(
+        "vec_id",
+        "scale",
+        "nrm",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + 0.5).cast("double"),
+        ).alias("qa"),
+    )
+    qz = z.filter(F.col("vec_id") < N_Q_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale").alias("qscale"),
+        F.col("nrm").alias("qnrm"),
+        F.col("qa").alias("qqa"),
+    )
+    qsim = (
+        (_dot(F.col("qqa"), F.col("qa")) * F.col("qscale")) * F.col("scale")
+    ) / (F.col("qnrm") * F.col("nrm"))
+    pairs = z.join(F.broadcast(qz), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", round_to(qsim, 6).alias("qsim")
+    )
+    w_short = Window.partitionBy("q_id").orderBy(
+        F.desc("qsim"), F.asc("vec_id")
+    )
+    short = (
+        pairs.withColumn("qrn", F.row_number().over(w_short))
+        .filter(F.col("qrn") <= SHORTLIST)
+        .select("q_id", "vec_id", "qsim")
+    )
+
+    # Exact re-rank: full-precision vectors join ONLY the shortlist
+    # (equi-joins — the broadcast sides are O(queries * shortlist)).
+    qv = base.filter(F.col("vec_id") < N_Q_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("query_v"),
+        F.col("nrm").alias("query_nrm"),
+    )
+    rr = (
+        base.select("vec_id", "v", "nrm")
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "qsim",
+            round_to(
+                _dot(F.col("query_v"), F.col("v"))
+                / (F.col("query_nrm") * F.col("nrm")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w_final = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rr.withColumn("rn", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("rn") <= Q_TOPK)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "qsim", "sim", "rn")
     )

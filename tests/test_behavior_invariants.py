@@ -582,3 +582,76 @@ def test_listagg_paths_match_python_ordering(spark):
         for r in _df("listagg_daily_paths", spark).collect()
     }
     assert got == expected
+
+
+def test_quantized_rerank_matches_pure_python(spark):
+    """ann_quantized_rerank vs a from-scratch pure-Python recompute of
+    the whole pipeline (quantize -> integer-dot shortlist -> exact
+    re-rank), with the fold in index order so every IEEE double matches
+    the engine bit-for-bit before rounding. Also pins the laws: the
+    quantized arrays are integers bounded by 127, and every emitted
+    neighbor came from the quantized shortlist (asymmetric retrieval
+    never scores a vector the shortlist pass dropped)."""
+    from math import floor, sqrt
+
+    from big_data_competition_dxc_spark.similarity.quantize import (
+        N_Q_QUERIES,
+        Q_TOPK,
+        QMAX,
+        SHORTLIST,
+    )
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_TEST_DIR, "embeddings").collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def rnd(x, d):
+        m = float(10**d)
+        return floor(x * m + 0.5) / m
+
+    scale = {i: max(abs(x) for x in v) / QMAX for i, v in emb.items()}
+    nrm = {i: sqrt(fold_dot(v, v)) for i, v in emb.items()}
+    qa = {
+        i: [float(floor(x / scale[i] + 0.5)) for x in v] for i, v in emb.items()
+    }
+    for i, a in qa.items():
+        assert all(x == int(x) and abs(x) <= QMAX for x in a), i
+
+    expected = set()
+    for q in range(N_Q_QUERIES):
+        scored = sorted(
+            (
+                -rnd(
+                    ((fold_dot(qa[q], qa[c]) * scale[q]) * scale[c])
+                    / (nrm[q] * nrm[c]),
+                    6,
+                ),
+                c,
+            )
+            for c in emb
+            if c != q
+        )
+        short = scored[:SHORTLIST]
+        rer = sorted(
+            (
+                -rnd(fold_dot(emb[q], emb[c]) / (nrm[q] * nrm[c]), 4),
+                c,
+                -negq,
+            )
+            for negq, c in short
+        )
+        for rn, (negs, c, qs) in enumerate(rer[:Q_TOPK], start=1):
+            expected.add((q, c, qs, -negs, rn))
+
+    got = {
+        (r["q_id"], r["neighbor_id"], r["qsim"], r["sim"], r["rn"])
+        for r in _df("ann_quantized_rerank", spark).collect()
+    }
+    assert got == expected

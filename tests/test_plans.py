@@ -122,6 +122,7 @@ _AUDIT_EXCLUDE_TAGS = {"ML", "streaming", "stub", "UDTF"}
 # materializes through the block-partitioned equi-join (no BNLJ).
 _BNLJ_OK = {
     "ann_cosine_topk",          # tiny query set broadcast vs corpus
+    "ann_quantized_rerank",     # same bounded query set, quantized pass
     "local_rows_to_df",         # range-bucket dim broadcast
     "tfidf_top_terms",          # 1-row corpus-stats scalar attach
     "bm25_topk_docs",           # 1-row corpus-stats scalar attach
