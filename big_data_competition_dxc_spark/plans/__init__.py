@@ -142,6 +142,7 @@ def load_all() -> None:
         # --- round-14 additions ---
         "big_data_competition_dxc_spark.textops.release",
         "big_data_competition_dxc_spark.operators.collations",
+        "big_data_competition_dxc_spark.similarity.ivfadc",
     ):
         # every listed module exists — a failed import is a broken build
         # and must surface, not silently shrink the registry

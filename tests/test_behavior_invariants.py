@@ -655,3 +655,106 @@ def test_quantized_rerank_matches_pure_python(spark):
         for r in _df("ann_quantized_rerank", spark).collect()
     }
     assert got == expected
+
+
+def test_ivfadc_matches_pure_python(spark):
+    """ann_ivfadc_topk vs a from-scratch pure-Python recompute of the
+    whole pipeline (sign-bit cells -> micro-unit-exact centroids ->
+    int8 residuals -> Hamming-1 probe -> asymmetric score -> exact
+    re-rank), folds in index order so doubles match bit-for-bit.
+    Also pins the probe law: every emitted neighbor's cell is within
+    Hamming distance 1 of its query's cell."""
+    from math import floor, sqrt
+
+    from big_data_competition_dxc_spark.similarity.ivfadc import (
+        C_UNITS,
+        IVF_BITS,
+        PROBE_OFFSETS,
+    )
+    from big_data_competition_dxc_spark.similarity.quantize import (
+        N_Q_QUERIES,
+        Q_TOPK,
+        QMAX,
+        SHORTLIST,
+    )
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_TEST_DIR, "embeddings").collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def rnd(x, d):
+        m = float(10**d)
+        return floor(x * m + 0.5) / m
+
+    cell = {
+        i: sum((1 << b) for b in range(IVF_BITS) if v[b] >= 0)
+        for i, v in emb.items()
+    }
+    nrm = {i: sqrt(fold_dot(v, v)) for i, v in emb.items()}
+
+    # micro-unit-exact centroids, one division per element
+    sums, counts = {}, {}
+    for i, v in emb.items():
+        c = cell[i]
+        counts[c] = counts.get(c, 0) + 1
+        su = sums.setdefault(c, [0] * len(v))
+        for j, x in enumerate(v):
+            su[j] += floor(x * float(C_UNITS))
+    cen = {
+        c: [float(su[j]) / (float(counts[c]) * float(C_UNITS)) for j in range(len(su))]
+        for c, su in sums.items()
+    }
+
+    resid = {i: [x - c for x, c in zip(v, cen[cell[i]])] for i, v in emb.items()}
+    rscale = {i: max(abs(x) for x in r) / QMAX for i, r in resid.items()}
+    qr = {
+        i: (
+            [0.0] * len(r)
+            if rscale[i] == 0
+            else [float(floor(x / rscale[i] + 0.5)) for x in r]
+        )
+        for i, r in resid.items()
+    }
+
+    expected = set()
+    for q in range(N_Q_QUERIES):
+        probed = {cell[q] ^ o for o in PROBE_OFFSETS}
+        scored = sorted(
+            (
+                -rnd(
+                    (fold_dot(emb[q], cen[cell[c]]) + rscale[c] * fold_dot(emb[q], qr[c]))
+                    / (nrm[q] * nrm[c]),
+                    6,
+                ),
+                c,
+            )
+            for c in emb
+            if c != q and cell[c] in probed
+        )
+        short = scored[:SHORTLIST]
+        rer = sorted(
+            (
+                -rnd(fold_dot(emb[q], emb[c]) / (nrm[q] * nrm[c]), 4),
+                c,
+                -negq,
+            )
+            for negq, c in short
+        )
+        for rn, (negs, c, qs) in enumerate(rer[:Q_TOPK], start=1):
+            expected.add((q, c, qs, -negs, rn))
+
+    rows = _df("ann_ivfadc_topk", spark).collect()
+    got = {
+        (r["q_id"], r["neighbor_id"], r["qsim"], r["sim"], r["rn"]) for r in rows
+    }
+    assert got == expected
+    for r in rows:
+        ham = bin(cell[r["q_id"]] ^ cell[r["neighbor_id"]]).count("1")
+        assert ham <= 1, (r["q_id"], r["neighbor_id"], ham)
