@@ -120,21 +120,34 @@ def pagerank_cosupply_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()  # every iteration rescans the edge list (S8)
     )
+    # Per-node frames are |suppliers|-sized — broadcast them explicitly
+    # so NO iteration ever shuffles or sorts the edge list: the r13 plan
+    # sort-merge-joined edges⨝ranks each iteration (an Exchange + Sort
+    # of the full edge list per pass, 11 SMJs total at sf0.1); with the
+    # rank vector carrying its out-degree and broadcast, each iteration
+    # is one broadcast hash join over the cached edges plus the
+    # unavoidable partial-aggregated groupBy(dst) exchange (guide §2.4,
+    # §3.1). Integer arithmetic is unchanged — BIGINT sums are
+    # order-independent, so the ranks are bit-identical.
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "src")
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = deg.select(F.col("src").alias("node"))  # same set: every node has outdeg >= 1
     n_nodes = nodes.count()  # tiny scalar: pins the exact base constant
     base = SCALE // n_nodes
     teleport = (15 * base) // DAMP_DEN
 
     ranks = nodes.withColumn("r", F.lit(base).cast("bigint"))
     for _ in range(N_ITER):
+        rd = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
+            "node", "r", "outdeg"
+        )
         contrib = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges.join(F.broadcast(rd), edges.src == rd.node)
             .groupBy("dst")
             .agg(F.sum(F.expr("r div outdeg")).alias("s"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
             "node",
             (
                 F.lit(teleport)

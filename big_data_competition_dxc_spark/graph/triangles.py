@@ -37,8 +37,6 @@ degree skew.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -53,10 +51,6 @@ MICRO = 1_000_000
 #: (n*n/8 bytes — 32 MiB at the gate). Above it, the degree-oriented
 #: join pipeline takes over (and triangle_count_sampled estimates).
 DENSE_MAX_NODES = 16384
-
-#: 256-entry popcount table — POP8[x].sum() vectorizes bit counting
-#: over whole uint8 arrays without per-element Python.
-POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 # Deterministic DOULION edge sampling (see triangle_count_sampled):
 # keep an edge iff md5(u|v) mod 10000 < P_KEEP_BP. 5000bp = p=1/2, so
@@ -125,15 +119,17 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     - **Dense fast path** (n_nodes <= DENSE_MAX_NODES): the co-supply
       projection saturates at fixture scales (sf1: ~10k nodes, 4.5M
       edges, ~9% dense), where the pivot-pair join grinds through ~1B
-      wedge rows. Instead, pack each node's neighbor set into an
-      n/8-byte bitset (built distributed via collect_list +
-      np.packbits in a pandas UDF), broadcast the whole matrix
-      (sf1: 12.5 MiB; 32 MiB at the gate), and mapInPandas over the
-      undirected edge list computing popcount(adj[u] & adj[v]) in
-      vectorized uint8 blocks. Each triangle is seen by all 3 of its
-      edges, so T = Σ popcount / 3 exactly — no orientation needed.
-      Degrees, edge and wedge counts fall out of per-row popcounts on
-      the driver for free.
+      wedge rows. Instead, build each node's neighbor bitset as
+      ceil(n/64) BIGINT words (one ``bit_or(shiftleft(..))`` aggregate
+      — pure JVM since r14; the r8 numpy/pandas kernel spent its wall
+      on Python worker spin-up and Arrow transposes, guide §4),
+      broadcast the word rows (sf1: 12.5 MiB; 32 MiB at the gate) onto
+      both edge endpoints, and sum
+      ``zip_with(wu, wv, bit_count(x & y))`` in whole-stage codegen.
+      Each triangle is seen by all 3 of its edges, so
+      T = Σ popcount / 3 exactly — no orientation needed. Degrees,
+      edge and wedge counts are ``bit_count`` folds over the same word
+      rows; only scalars reach the driver.
     - **Degree-oriented join path** (above the gate — suppliers grow
       with SF, so a 100 TB run lands here): the original Suri &
       Vassilvitskii pipeline below, whose out-degree bound keeps the
@@ -205,14 +201,22 @@ def _dense_counts(
     edge list ``und(u, v)`` with u < v and no duplicates. Caller must
     have gated ``n_nodes <= DENSE_MAX_NODES`` (via any upper bound).
 
-    Shape: index nodes 0..n-1 (tiny global window), pack each node's
-    neighbor row into an n/8-byte little-endian bitset executor-side
-    (collect_list + np.packbits in a pandas UDF — only the PACKED rows
-    ever reach the driver), broadcast the n x n/8 matrix, then
-    mapInPandas over the edge list summing popcount(adj[u] & adj[v])
-    in vectorized uint8 blocks. Every triangle is seen by its 3 edges,
-    so T = total // 3 exactly; degrees/edges/wedges fall out of
-    per-row popcounts driver-side for free.
+    Shape (r14: pure JVM — the r8 kernel packed numpy bitsets in a
+    pandas UDF and popcounted in mapInPandas, which spent most of its
+    wall on the Python boundary: worker fleet spin-up + Arrow
+    transposes dominated the trivial per-batch math, guide §4): index
+    nodes 0..n-1 (tiny global window), build each node's neighbor
+    bitset as an array<bigint> of ``ceil(n/64)`` words — one
+    ``bit_or(shiftleft(1, i % 64))`` aggregate per (node, word), then a
+    map->dense-array fill per node — broadcast-join the word rows onto
+    both endpoints of the edge list, and sum
+    ``aggregate(zip_with(wu, wv, bit_count(x & y)))`` in whole-stage
+    codegen. Every triangle is seen by its 3 edges, so T = total // 3
+    exactly; degrees (and so edge/wedge counts) are per-row
+    ``bit_count`` folds over the same word rows — only scalars reach
+    the driver. The broadcast is the same n x n/8-byte matrix as the r8
+    kernel (<=32 MiB at the gate), just held as JVM rows instead of a
+    numpy array.
     """
     und = und.persist()
     idx = (
@@ -239,56 +243,69 @@ def _dense_counts(
     )
     try:
         n_nodes = idx.count()
-        nb = (n_nodes + 7) // 8
-
-        @F.pandas_udf("binary")
-        def pack(nbrs: pd.Series) -> pd.Series:
-            out = []
-            for lst in nbrs:
-                bits = np.zeros(n_nodes, dtype=np.uint8)
-                bits[np.asarray(lst, dtype=np.int64)] = 1
-                out.append(np.packbits(bits, bitorder="little").tobytes())
-            return pd.Series(out)
+        nw = (n_nodes + 63) // 64
 
         both = edges_idx.unionAll(
             edges_idx.select(F.col("iv").alias("iu"), F.col("iu").alias("iv"))
         )
-        packed_rows = (
-            both.groupBy("iu")
-            .agg(F.collect_list("iv").alias("nbrs"))
-            .select("iu", pack("nbrs").alias("row"))
-            .collect()
+        words = both.groupBy(
+            "iu", F.expr("CAST(iv div 64 AS INT)").alias("w")
+        ).agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(iv % 64 AS INT)))"
+            ).alias("word")
         )
-        adj = np.zeros((n_nodes, nb), dtype=np.uint8)
-        for r in packed_rows:
-            adj[r["iu"]] = np.frombuffer(r["row"], dtype=np.uint8)
-
-        deg = POP8[adj].sum(axis=1, dtype=np.int64)
-        n_edges = int(deg.sum()) // 2
-        wedges = int((deg * (deg - 1) // 2).sum())
-
-        b_adj = spark.sparkContext.broadcast(adj)
-        try:
-
-            def count_common(batches):
-                A = b_adj.value
-                for pdf in batches:
-                    iu = pdf["iu"].to_numpy()
-                    iv = pdf["iv"].to_numpy()
-                    s = 0
-                    for lo in range(0, len(iu), 8192):
-                        blk = A[iu[lo : lo + 8192]] & A[iv[lo : lo + 8192]]
-                        s += int(POP8[blk].sum(dtype=np.int64))
-                    yield pd.DataFrame({"c": [s]})
-
-            total = (
-                edges_idx.mapInPandas(count_common, "c long")
-                .agg(F.sum("c").alias("s"))
-                .collect()[0]["s"]
-                or 0
+        rows = (
+            words.groupBy("iu")
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("w"), F.collect_list("word")
+                ).alias("m")
             )
-        finally:
-            b_adj.unpersist()
+            .select(
+                "iu",
+                F.expr(
+                    f"transform(sequence(0, {nw - 1}), "
+                    "wi -> coalesce(m[wi], CAST(0 AS BIGINT)))"
+                ).alias("words"),
+            )
+            .persist()
+        )
+        stat = (
+            rows.select(
+                F.expr(
+                    "aggregate(words, CAST(0 AS BIGINT), (acc, x) -> acc + bit_count(x))"
+                ).alias("d")
+            )
+            .agg(
+                F.sum("d").alias("s2e"),
+                F.sum(F.expr("(d * (d - 1)) div 2")).alias("wedges"),
+            )
+            .first()
+        )
+        n_edges = int(stat["s2e"] or 0) // 2
+        wedges = int(stat["wedges"] or 0)
+        total = (
+            edges_idx.join(
+                F.broadcast(rows.select("iu", F.col("words").alias("wu"))), "iu"
+            )
+            .join(
+                F.broadcast(
+                    rows.select(F.col("iu").alias("iv"), F.col("words").alias("wv"))
+                ),
+                "iv",
+            )
+            .select(
+                F.expr(
+                    "aggregate(zip_with(wu, wv, (x, y) -> bit_count(x & y)), "
+                    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias("c")
+            )
+            .agg(F.sum("c").alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
+        rows.unpersist()
     finally:
         edges_idx.unpersist()
         idx.unpersist()

@@ -45,25 +45,31 @@ FROM {child}"""
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per FK edge of the star schema: child rows, distinct
     child keys, and orphans (child keys with no parent — NULLs count as
-    orphans). Each edge is a left-anti join against a broadcast parent
-    key set; the union of seven 1-row aggregates is driver-trivial
-    while each scan is a single pass. The load gate a 100 TB ingest
-    runs before any downstream join is allowed to assume its dims."""
+    orphans). Each edge is ONE pass over the child: a left outer join
+    against the broadcast parent key set feeds a single aggregate
+    computing rows, distinct keys, and the null-parent (= orphan)
+    count together — r13 ran a separate anti-join scan plus a stats
+    scan per edge (14 child scans for 7 edges; lineitem alone was read
+    6x), and the fold halves that to 7 (guide §1.2: don't read what
+    you already read). A NULL child key never equi-matches, so it
+    surfaces as an orphan exactly as the anti-join counted it, and
+    COUNT(DISTINCT ck) ignores NULLs in both engines. The union of
+    seven 1-row aggregates is driver-trivial. The load gate a 100 TB
+    ingest runs before any downstream join is allowed to assume its
+    dims."""
     out = None
     for edge, child, ck, parent, pk in _FK_EDGES:
         c = load(spark, sf_dir, child)
         p = load(spark, sf_dir, parent).select(pk).distinct()
-        orphans = (
-            c.join(F.broadcast(p), c[ck] == p[pk], "left_anti")
-            .agg(F.count("*").alias("n_orphans"))
-            .select("n_orphans")
-        )
-        stats = c.agg(
-            F.count("*").alias("n_child_rows"),
-            F.countDistinct(ck).alias("n_child_keys"),
-        )
         row = (
-            stats.crossJoin(F.broadcast(orphans))
+            c.join(F.broadcast(p), c[ck] == p[pk], "left")
+            .agg(
+                F.count("*").alias("n_child_rows"),
+                F.countDistinct(ck).alias("n_child_keys"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
             .select(
                 F.lit(edge).alias("fk_edge"),
                 "n_child_rows",
@@ -441,7 +447,13 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", *fp_base, bumped.cast("string"), micros
         ).alias("fp"),
     )
-    aa, bb = a.alias("a"), b.alias("b")
+    # shuffle_hash on the B side: Spark supports hash-based full outer
+    # joins (3.1+), and the SMJ this planned as paid a full sort of BOTH
+    # events-sized snapshot sides on top of the two unavoidable key
+    # exchanges (guide §3.1 — same finding as the minhash/jaccard SHJ
+    # A/Bs). Build-side memory is one snapshot's (event_id, fp) pairs
+    # per partition, AQE-splittable.
+    aa, bb = a.alias("a"), b.hint("shuffle_hash").alias("b")
     j = aa.join(bb, F.col("a.event_id") == F.col("b.event_id"), "full_outer")
     return j.agg(
         F.sum(F.when(F.col("b.event_id").isNull(), 1).otherwise(0))
