@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to
 from ..plans.registry import query
+from .concurrency import run_concurrently
 from ..sources import load
 
 SEED = 42
@@ -121,26 +122,39 @@ def ml_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = data.filter(F.col("ds") < "2024-01-22")
     test = data.filter(F.col("ds") >= "2024-01-22")
 
-    per_cluster: list[DataFrame] = []
-    for cid in range(K):
+    # Materialize the cached feature table ONCE before the concurrent
+    # branches so they all probe a warm cache instead of racing to fill
+    # overlapping partitions.
+    data.count()
+
+    # One thunk per cluster, submitted concurrently (guide §2.6 via
+    # ml/concurrency.py): the four seeded GBT fits are independent and
+    # each is a chain of tiny boosting stages — serial, they leave the
+    # pool idle; overlapped, they back-fill each other. Assembled in
+    # cid order, so the unioned output is row-identical to the serial
+    # loop (tests/test_ml.py pins the audited scalar across runs).
+    def _branch(cid: int) -> DataFrame | None:
         tr = train.filter(F.col("cluster_id") == cid)
         te = test.filter(F.col("cluster_id") == cid)
         if tr.isEmpty() or te.isEmpty():
-            continue
+            return None
         gbt = GBTRegressor(
             featuresCol="features", labelCol="label_next", maxIter=10, maxDepth=5,
             seed=SEED,
         )
-        model = gbt.fit(tr)
-        pred = model.transform(te)
-        per_cluster.append(
-            pred.groupBy("cluster_id").agg(
-                F.count("*").alias("n_test"),
-                round_to(
-                    F.avg(F.pow(F.col("label_next") - F.col("prediction"), 2)), 4
-                ).alias("mse_test"),
-            )
+        pred = gbt.fit(tr).transform(te)
+        return pred.groupBy("cluster_id").agg(
+            F.count("*").alias("n_test"),
+            round_to(
+                F.avg(F.pow(F.col("label_next") - F.col("prediction"), 2)), 4
+            ).alias("mse_test"),
         )
+
+    per_cluster = [
+        df
+        for df in run_concurrently([lambda c=c: _branch(c) for c in range(K)])
+        if df is not None
+    ]
     schema = "cluster_id int, n_test bigint, mse_test double"
     if not per_cluster:  # degenerate split: no cluster has both sides
         data.unpersist()

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_to
 from ..plans.registry import query
 from ..sources import load
+from .concurrency import run_concurrently
 
 SEED = 42
 
@@ -133,21 +134,27 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ~0 weights (M:223-234); mse_naive (train-mean baseline)
     is reported so that collapse class is machine-checkable."""
     feats = daily_features(spark, sf_dir)
-    rows = []
-    for target, label in LR_TARGETS.items():
+
+    # One thunk per target, submitted concurrently (guide §2.6 via
+    # ml/concurrency.py): the three fits are independent and each is
+    # driver-latency-bound at this scale; results are bit-identical to
+    # the serial loop (same rows, same closed-form solver, no seed).
+    def _battery(target: str, label: str):
         train, test = _train_test(feats, label, BATTERY_FEATURES)
         model = LinearRegression(featuresCol="features", labelCol=label).fit(train)
-        rows.append(
-            (
-                target,
-                int(train.count()),
-                int(test.count()),
-                round(float(model.summary.meanSquaredError), 4),
-                round(float(_mse(model.transform(test), label)), 4),
-                round(_naive_train_mse(train, label), 4),
-                round(float(model.intercept), 4),
-            )
+        return (
+            target,
+            int(train.count()),
+            int(test.count()),
+            round(float(model.summary.meanSquaredError), 4),
+            round(float(_mse(model.transform(test), label)), 4),
+            round(_naive_train_mse(train, label), 4),
+            round(float(model.intercept), 4),
         )
+
+    rows = run_concurrently(
+        [lambda t=t, l=l: _battery(t, l) for t, l in LR_TARGETS.items()]
+    )
     # audited determinism scalar (r10, the ML8/ML10/ML12 treatment):
     # the battery's test MSEs summed in 4-decimal integer units. LR is
     # closed-form deterministic; any split/feature/solver regression
@@ -169,8 +176,12 @@ def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins). One row per (target, feature) with the importance, plus the
     target's train/test MSE and the train-mean baseline."""
     feats = daily_features(spark, sf_dir)
-    rows = []
-    for target, label in RF_TARGETS.items():
+
+    # Concurrent battery (guide §2.6 via ml/concurrency.py): the five
+    # seeded fits are independent; per-model rows are assembled in
+    # RF_TARGETS order afterwards, so the output is row-for-row the
+    # serial loop's.
+    def _battery(target: str, label: str):
         train, test = _train_test(feats, label, BATTERY_FEATURES)
         rf = RandomForestRegressor(
             featuresCol="features",
@@ -184,10 +195,18 @@ def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mse_train = round(float(_mse(model.transform(train), label)), 4)
         mse_test = round(float(_mse(model.transform(test), label)), 4)
         mse_naive = round(_naive_train_mse(train, label), 4)
-        for feat, imp in zip(BATTERY_FEATURES, model.featureImportances.toArray()):
-            rows.append(
-                (target, feat, round(float(imp), 4), mse_train, mse_test, mse_naive)
-            )
+        return [
+            (target, feat, round(float(imp), 4), mse_train, mse_test, mse_naive)
+            for feat, imp in zip(BATTERY_FEATURES, model.featureImportances.toArray())
+        ]
+
+    rows = [
+        row
+        for per_model in run_concurrently(
+            [lambda t=t, l=l: _battery(t, l) for t, l in RF_TARGETS.items()]
+        )
+        for row in per_model
+    ]
     # audited determinism scalar (r10): every feature importance across
     # the 5-model battery summed in 4-decimal units — a seed/bagging/
     # split regression reshuffles the importances and changes it.
@@ -248,11 +267,18 @@ def ml_gbt_horizon_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     three test MSEs (h1, h2, blend); the blend beating either horizon
     alone is the reference's attempt-3 result (M:764-765)."""
     feats = daily_features(spark, sf_dir)
-    train1, test1 = _gbt_split(feats, "label_next")
-    train2, _ = _gbt_split(feats, "label_next2")
     gbt = dict(featuresCol="features", maxIter=20, maxDepth=5, maxBins=32, seed=SEED)
-    m1 = GBTRegressor(labelCol="label_next", **gbt).fit(train1)
-    m2 = GBTRegressor(labelCol="label_next2", **gbt).fit(train2)
+
+    # The two horizons are independent end-to-end (indexer fits + 20
+    # boosting iterations each); overlap them (guide §2.6 via
+    # ml/concurrency.py). Same splits, same seeds — identical models.
+    def _horizon(label: str):
+        train, test = _gbt_split(feats, label)
+        return GBTRegressor(labelCol=label, **gbt).fit(train), test
+
+    (m1, test1), (m2, _) = run_concurrently(
+        [lambda: _horizon("label_next"), lambda: _horizon("label_next2")]
+    )
     p1 = m1.transform(test1).select(
         "user_id", "ds", "label_next", F.col("prediction").alias("p1")
     )

@@ -42,6 +42,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from ..plans.registry import query
+from .confscope import state_partitions_scope
+
+# State-store commit fan-out (see confscope.py): the feed's key domain
+# is the CONSTANT {N_BUCKETS} buckets, but the session default (32
+# shuffle partitions) made every one of the 6 micro-batches commit 32
+# snapshot+delta state stores to hold 10 rows. Pinned to the domain
+# size, the r14 A/B in the same window read min-of-3 19.2s -> 8.2s.
 
 N_BATCHES = 5
 BATCH_ROWS = 200
@@ -125,17 +132,18 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="tickfeed_ckpt_")
     q = None
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        # availableNow would stop after the first prefetched slice (see
-        # module docstring); processAllAvailable loops micro-batches
-        # until read() stops advancing the offset.
-        q.processAllAvailable()
+        with state_partitions_scope(spark, N_BUCKETS):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            # availableNow would stop after the first prefetched slice
+            # (see module docstring); processAllAvailable loops
+            # micro-batches until read() stops advancing the offset.
+            q.processAllAvailable()
         rows = spark.table(sink).collect()
     finally:
         if q is not None and q.isActive:

@@ -36,7 +36,15 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import to_units
 from ..plans.registry import query
+from .confscope import state_partitions_scope
 from .rollup_stream import nanos_conf_scope, staged_events_stream
+
+#: The state key domain: event_type is a 5-value schema constant, so
+#: the stateful aggregation needs 8, not 32, state stores per
+#: micro-batch commit (see confscope.py — scale-independent; the agg
+#: exchange only ever carries ≤domain-size map-side partials). 8 not 5
+#: so a future fixture event type has headroom without a re-tune.
+STATE_PARTITIONS = 8
 
 
 @query(
@@ -68,7 +76,9 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sink_{uuid.uuid4().hex[:8]}"
     q = None
     try:
-        with nanos_conf_scope(spark):
+        with nanos_conf_scope(spark), state_partitions_scope(
+            spark, STATE_PARTITIONS
+        ):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(sink)
