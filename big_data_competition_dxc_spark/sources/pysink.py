@@ -73,10 +73,21 @@ class AuditedSinkWriter(DataSourceWriter):
         fname = f"part-{uuid.uuid4().hex}.txt"
         tmp = os.path.join(self.path, f".{fname}.inprogress")
         n = 0
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(f"{row[0]}|{row[1]}|{row[2]}\n")
-                n += 1
+        try:
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(f"{row[0]}|{row[1]}|{row[2]}\n")
+                    n += 1
+        except BaseException:
+            # task-level cleanup: a failing task removes its own temp
+            # (the driver-side abort() sweep races with still-dying
+            # tasks — this is the deterministic path for the common
+            # "upstream computation raised" failure)
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         os.rename(tmp, os.path.join(self.path, fname))
         return _PartCommit(fname, n)
 

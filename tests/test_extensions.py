@@ -102,8 +102,32 @@ def test_python_datasource_sink_commit_protocol(spark, tmp_path):
             "append"
         ).save()
     assert MANIFEST not in os.listdir(bad)
-    # abort() sweeps the failed task's mid-write temp too
+    # The failing task removes its own temp and abort() sweeps the rest
+    # — but both race with still-dying sibling tasks (the driver-side
+    # abort can run while a killed task's Python worker is mid-write),
+    # so poll briefly instead of asserting an instantaneous state.
+    import time
+
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        leftovers = [p for p in os.listdir(bad) if p.endswith(".inprogress")]
+        if not leftovers:
+            break
+        time.sleep(0.2)
+    assert not leftovers
+    # Whatever a raced straggler left behind, the next successful
+    # commit to the same directory must sweep it — THAT is the durable
+    # no-garbage-accumulation contract.
+    with open(os.path.join(bad, ".part-planted.txt.inprogress"), "w") as f:
+        f.write("9|Z|9\n")
+    ok2 = spark.createDataFrame(
+        [(1, "A", 100)], "k bigint, status string, cents bigint"
+    )
+    ok2.write.format("audited_sink").option("path", bad).mode("append").save()
     assert not [p for p in os.listdir(bad) if p.endswith(".inprogress")]
+    with open(os.path.join(bad, MANIFEST)) as f:
+        m2 = json.load(f)
+    assert m2["total_rows"] == 1 and len(m2["files"]) >= 1
 
 
 def test_statestore_metadata_describes_the_operator(spark, tmp_path):
