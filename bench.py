@@ -68,20 +68,26 @@ TAIL_BUDGET = 1900
 def build_drop_order(
     accepted: bool, scale_accepted: bool | None, spot_accepted: bool | None
 ) -> list[tuple]:
-    """Compact-line field drops, least valuable first (r10 rebuild per
-    the r9 verdict — the r9 artifact shed the accepted scale block's
-    per-query mins while keeping spotlight attempt history):
+    """Compact-line field drops, least valuable first (r15 rebuild per
+    the r14 verdict — the r14 artifact shed the headline ``q_min`` at
+    priority 3 while a REJECTED spot block's attempt triples survived
+    to the doomsday tail, so PERF_r14 got ``n_common: 0`` and an empty
+    ``per_query``: the driver could not compute a single per-query
+    speedup):
 
     1. attempt histories of ACCEPTED blocks (the gate passed; the
        triples are redundant with value/steal/probe);
-    2. spotlight per-query mins, then main q_min, then spot ratios —
-       scale.q_min outlives them all: the 10x per-query evidence is
-       the artifact's scarcest content;
-    3. a doomsday tail guaranteeing the line ALWAYS fits (r9 advice:
-       the old list could be exhausted with the line still over
-       budget): remaining attempt histories — even the exculpatory
-       ones for accepted:false blocks — then scale.q_min itself, then
-       trailing flags and memo keys.
+    2. ALL remaining attempt histories — including the exculpatory
+       ones for accepted:false blocks (each block's headline
+       steal/probe fields survive regardless, so the environment
+       evidence is never fully lost);
+    3. spotlight per-query mins and ratios, then trailing flags and
+       memo keys;
+    4. a doomsday tail guaranteeing the line ALWAYS fits: the headline
+       ``q_min`` and finally ``scale.q_min`` — per-query mins are the
+       driver's round-over-round comparison contract and must outlive
+       every forensic field; scale.q_min goes last of all (the 10x
+       per-query evidence is the artifact's scarcest content).
 
     spot ``names`` are never dropped (the history-driven rotation
     reads them back from canonical wrappers)."""
@@ -93,18 +99,18 @@ def build_drop_order(
     if scale_accepted:
         drops.append(("scale", "att"))
     drops += [
-        ("spot", "q_min_scale"),
-        ("spot", "q_min"),
-        ("q_min",),
-        ("spot", "ratio"),
         ("spot", "att"),
         ("att",),
         ("scale", "att"),
-        ("scale", "q_min"),
+        ("spot", "q_min_scale"),
+        ("spot", "q_min"),
+        ("spot", "ratio"),
         ("trailing_flags",),
         ("scale", "trailing_flags"),
         ("memo",),
         ("scale", "memo"),
+        ("q_min",),
+        ("scale", "q_min"),
     ]
     return drops
 
@@ -609,10 +615,9 @@ def main() -> None:
     accepted = main_run["accepted"]
     attempts = main_run["attempts"]
 
-    # ---- scale check: same headline set at 10x (see docstring) ----
-    # (spot-only mode resolves sf1_dir — the spotlight's scale half
-    # needs it — but skips the headline-at-10x block itself)
-    scale_check = None
+    # ---- sf1 fixture resolution (shared by the spotlight's 10x half
+    # and the headline-at-10x scale block; spot-only mode resolves it
+    # but skips the scale block itself) ----
     sf1_dir = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         sf1_dir = os.environ.get(
@@ -628,60 +633,18 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"# scale-data generation failed: {exc}", file=sys.stderr)
                 sf1_dir = None
-        if sf1_dir and os.path.isdir(sf1_dir) and not spot_only:
-            sc = gated_block(sf1_dir, min_attempts=2)
-            _clear_session_memos()
-            sc_timings, sc_rows = sc["timings"], sc["rows"]
-            sc_min, main_min = sc["queries_min"], main_run["queries_min"]
-            main_rows = main_run["rows"]
-            scale_check = {
-                "sf": 1.0,
-                "value": sc["total"],
-                "unit": "sec",
-                "queries": sc_timings,
-                # per-query min across the block's attempts — the number
-                # ratios are computed from (see gated_block docstring)
-                "queries_min_of_attempts": sc_min,
-                "memo_warm": sc["memo_warm"],
-                "ratio_vs_main": {
-                    n: (
-                        round(sc_min[n] / main_min[n], 1)
-                        if main_min.get(n, 0) > 0 and sc_min.get(n, 0) > 0
-                        else None
-                    )
-                    for n in sc_timings
-                },
-                # Output-row ratio at 10x data: wall ratios are only
-                # interpretable next to these — a pair-generating query
-                # whose OUTPUT grows superlinearly (e.g. near-dup pairs)
-                # is allowed superlinear wall from result volume alone.
-                "output_ratio_vs_main": {
-                    n: (
-                        round(sc_rows[n] / main_rows[n], 1)
-                        if main_rows.get(n, 0) > 0 and sc_rows[n] >= 0
-                        else None
-                    )
-                    for n in sc_rows
-                },
-                "steal_jiffies": sc["steal"],
-                "cpu_probe_sec": sc["probe"],
-                "value_probe_normalized": _normalized(sc["total"], sc["probe"]),
-                "probe_baseline_sec": PROBE_BASELINE,
-                "noise_gate": {
-                    "steal_gate": STEAL_GATE,
-                    "probe_gate_sec": PROBE_GATE,
-                    "accepted": sc["accepted"],
-                    "attempts": sc["attempts"],
-                },
-                "trailing_flags": _trailing_flags(
-                    sc_min, trail_scale, recent_scale
-                ),
-            }
 
     # ---- spotlight block: rotating per-round coverage (see
     # _spotlight_names) — same gated min-of-attempts protocol at both
     # scales; skipped alongside the scale block when the sf1 fixture is
-    # unavailable (ratios are the point). ----
+    # unavailable (ratios are the point). Runs BEFORE the headline-at-
+    # 10x scale block (r14 verdict item 7): both r13's and r14's
+    # canonical spot sf1 halves were steal-rejected because the spot
+    # ran LAST, after ~6 minutes of headline+scale had burned the
+    # host's CPU-burst credit. The blocks are independent — each
+    # gated_block warms its own tables and session memos are cleared
+    # between blocks — so the reorder changes which block eats the
+    # dirtiest window, not what any block measures. ----
     spotlight = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SPOTLIGHT"):
         # Builder-side re-spotlight: SPARK_GRAFT_SPOT_NAMES=a,b,c pins
@@ -759,6 +722,58 @@ def main() -> None:
                     )
                     for n in spot_names
                 }
+
+    # ---- scale check: same headline set at 10x (see docstring) ----
+    scale_check = None
+    if sf1_dir and os.path.isdir(sf1_dir) and not spot_only:
+        sc = gated_block(sf1_dir, min_attempts=2)
+        _clear_session_memos()
+        sc_timings, sc_rows = sc["timings"], sc["rows"]
+        sc_min, main_min = sc["queries_min"], main_run["queries_min"]
+        main_rows = main_run["rows"]
+        scale_check = {
+            "sf": 1.0,
+            "value": sc["total"],
+            "unit": "sec",
+            "queries": sc_timings,
+            # per-query min across the block's attempts — the number
+            # ratios are computed from (see gated_block docstring)
+            "queries_min_of_attempts": sc_min,
+            "memo_warm": sc["memo_warm"],
+            "ratio_vs_main": {
+                n: (
+                    round(sc_min[n] / main_min[n], 1)
+                    if main_min.get(n, 0) > 0 and sc_min.get(n, 0) > 0
+                    else None
+                )
+                for n in sc_timings
+            },
+            # Output-row ratio at 10x data: wall ratios are only
+            # interpretable next to these — a pair-generating query
+            # whose OUTPUT grows superlinearly (e.g. near-dup pairs)
+            # is allowed superlinear wall from result volume alone.
+            "output_ratio_vs_main": {
+                n: (
+                    round(sc_rows[n] / main_rows[n], 1)
+                    if main_rows.get(n, 0) > 0 and sc_rows[n] >= 0
+                    else None
+                )
+                for n in sc_rows
+            },
+            "steal_jiffies": sc["steal"],
+            "cpu_probe_sec": sc["probe"],
+            "value_probe_normalized": _normalized(sc["total"], sc["probe"]),
+            "probe_baseline_sec": PROBE_BASELINE,
+            "noise_gate": {
+                "steal_gate": STEAL_GATE,
+                "probe_gate_sec": PROBE_GATE,
+                "accepted": sc["accepted"],
+                "attempts": sc["attempts"],
+            },
+            "trailing_flags": _trailing_flags(
+                sc_min, trail_scale, recent_scale
+            ),
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -68,10 +68,10 @@ def test_scale_qmin_outlives_spot_and_main_qmin():
     assert drops.index(("scale", "q_min")) > drops.index(("q_min",))
     assert drops.index(("q_min",)) > drops.index(("spot", "q_min"))
     assert drops.index(("spot", "q_min")) > drops.index(("spot", "q_min_scale"))
-    # behavioral: find the serialized size right after the spot.ratio
+    # behavioral: find the serialized size right after the main q_min
     # drop (everything before scale.q_min shed) and use it as budget
     probe = _fat_compact()
-    for d in drops[: drops.index(("spot", "ratio")) + 1]:
+    for d in drops[: drops.index(("q_min",)) + 1]:
         node = probe
         for k in d[:-1]:
             node = node.get(k, {})
@@ -108,16 +108,78 @@ def test_accepted_blocks_shed_attempts_first():
     assert "att" not in rec and "att" not in rec["scale"]
 
 
-def test_rejected_blocks_keep_attempts_over_spot_mins():
-    """accepted:false blocks carry their own environment evidence (r8
-    verdict item 4): their att outlives the spotlight q_min maps."""
-    compact = _fat_compact()
+def test_all_attempt_histories_shed_before_any_qmin():
+    """r14 verdict item 1 (reverses the r8-era preference): attempt
+    triples are forensics, per-query mins are the driver's comparison
+    contract — EVERY att field (accepted or rejected blocks alike)
+    must be dropped before any q_min map. Each block's headline
+    steal/probe fields survive regardless, so an accepted:false block
+    still carries environment evidence."""
     drops = build_drop_order(False, False, False)
-    i_att = drops.index(("att",))
-    i_scale_att = drops.index(("scale", "att"))
-    for spot_field in (("spot", "q_min_scale"), ("spot", "q_min")):
-        assert drops.index(spot_field) < i_att
-        assert drops.index(spot_field) < i_scale_att
+    last_att = max(
+        drops.index(("att",)),
+        drops.index(("scale", "att")),
+        drops.index(("spot", "att")),
+    )
+    for qmin_field in (
+        ("spot", "q_min_scale"),
+        ("spot", "q_min"),
+        ("q_min",),
+        ("scale", "q_min"),
+    ):
+        assert drops.index(qmin_field) > last_att
+
+
+def test_headline_qmin_survives_r14_shape():
+    """Regression pin for PERF_r14's n_common=0: the canonical r14 line
+    (headline+scale accepted, spot sf1 half rejected with escalated
+    attempt histories) over-ran the budget and shed the top-level
+    q_min while the rejected spot block's att triples survived. With
+    the rebuilt order, q_min and scale.q_min must both survive the
+    REAL budget for the real r14 shape (actual query-name lengths —
+    the _fat_compact 42-char synthetic names are the doomsday case
+    where shedding q_min is genuinely unavoidable)."""
+    headline = [
+        "ann_cosine_topk", "corpus_curation_pipeline", "cube_status_priority",
+        "daily_rollup", "incremental_dedup_fixed_delta",
+        "incremental_minhash_dedup", "join_snowflake_rollup",
+        "knn_user_recommend", "minhash_dedup_verified",
+        "parquet_partitioned_roundtrip", "percentile_prices",
+        "pricing_summary", "sessionize_batch", "simhash_neardup_pairs",
+        "simhash_neardup_summary", "simhash_neardup_topk_per_doc",
+        "text_quality", "topk_days_per_user",
+    ]
+    spot_names = [
+        "pagerank_cosupply_top20", "triangle_count_cosupply",
+        "triangle_count_sampled", "join_key_skew_profile",
+        "referential_integrity_audit", "robust_outlier_mad",
+        "table_checksum_audit", "table_diff_audit",
+    ]
+    att2 = [[19.868, 909, 1.46], [21.1, 1200, 1.5]]
+    att3 = [[118.11, 52131, 1.06], [68.369, 27907, 1.31], [49.679, 10810, 1.1]]
+    compact = {
+        "metric": "headline_summary", "value": 19.868, "unit": "sec",
+        "sf": 0.1, "probe": 1.46, "steal": 909, "accepted": True,
+        "att": att2, "normalized": 12.38, "n_queries": 18,
+        "trailing_flags": headline[:4], "memo": headline[:7],
+        "q_min": {n: 1.23 for n in headline},
+        "scale": {
+            "value": 32.156, "probe": 0.99, "steal": 313, "accepted": True,
+            "att": att2, "trailing_flags": headline[:3],
+            "memo": headline[:7], "q_min": {n: 4.56 for n in headline},
+        },
+        "spot": {
+            "round": 14, "names": spot_names,
+            "ratio": {n: 1.5 for n in spot_names},
+            "q_min": {n: 3.3 for n in spot_names},
+            "q_min_scale": {n: 6.6 for n in spot_names},
+            "accepted": [True, False], "att": [att2, att3],
+        },
+    }
+    drops = build_drop_order(True, True, False)
+    rec = json.loads(shrink_to_budget(compact, drops, budget=TAIL_BUDGET))
+    assert "q_min" in rec, "headline q_min is the driver's comparison contract"
+    assert "q_min" in rec["scale"]
 
 
 def test_doomsday_always_fits_real_budget():
