@@ -50,7 +50,7 @@ from ..plans.checkpointing import result_checkpoint
 from ..plans.registry import query
 from ..sources import load
 from .jaccard import JACCARD_THRESHOLD
-from .minhash import cached_bands, cached_shingles
+from .minhash import cached_bands, cached_shingles, cached_sizes
 from .minhash import _bands_sql, _signature_sql
 
 DELTA_MOD = 10  # md5(doc_id) % DELTA_MOD == 0 -> the ~10% ingest delta
@@ -111,6 +111,8 @@ def verify_decisions(
     sh_d: DataFrame,
     sh_c: DataFrame,
     delta_ids: DataFrame,
+    sizes_c: DataFrame | None = None,
+    sizes_d: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates -> verified per-delta-doc ingest decisions.
 
@@ -125,9 +127,22 @@ def verify_decisions(
     collapsing the count-groupBy + rank-window pair into this single
     pass halves the pipeline — `ver` used to be scanned once per
     branch, recomputing the whole candidate+verify pipeline (r6;
-    measured 4.4s -> ~2.9s at sf0.1)."""
-    sizes_d = sh_d.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
+    measured 4.4s -> ~2.9s at sf0.1).
+
+    ``sizes_c`` / ``sizes_d``: optionally, PRECOMPUTED (doc_id, n)
+    shingle counts for the corpus / delta side. Per-doc size is a
+    property of the stored corpus, exactly like the band index — the
+    streaming ingest derives ``sizes_c`` once at index-build time so
+    each micro-batch's verify skips a second aggregation pass over the
+    pruned corpus scan, and the batch pipelines pass the family's
+    cached_sizes memo for both sides. Values are identical to deriving
+    from ``sh_c``/``sh_d`` inline (the default): extra docs in a
+    precomputed table are inert (the sizes joins are inner, keyed by
+    the candidate pair's doc ids)."""
+    if sizes_d is None:
+        sizes_d = sh_d.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if sizes_c is None:
+        sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
     # shuffle_hash on the corpus shingle side of the verify join — the
     # same SMJ-sorts-dominate finding as minhash/jaccard (r9, SCALING.md)
     x, y = sh_d.alias("x"), sh_c.hint("shuffle_hash").alias("y")
@@ -183,7 +198,10 @@ def _incremental_pipeline(
     delta_ids = (
         load(spark, sf_dir, "documents").select("doc_id").filter(is_delta)
     )
-    out = verify_decisions(cand, sh, sh, delta_ids)
+    # both verify sides read the family's cached size memo — one
+    # aggregation per session instead of two per run (r15, guide §1.2)
+    sizes = cached_sizes(spark, sf_dir)
+    out = verify_decisions(cand, sh, sh, delta_ids, sizes_c=sizes, sizes_d=sizes)
     # materialize the small per-delta-doc decision frame while the
     # shingle memo is hot; the memo itself stays live for the family's
     # other queries (between-block hygiene releases it)
@@ -308,7 +326,11 @@ def dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d.doc_id").alias("doc_d"), F.col("c.doc_id").alias("doc_c"))
         .distinct()
     )
-    dec1 = verify_decisions(cand1, sh, sh, docs.select("doc_id").filter(is_d1))
+    sizes = cached_sizes(spark, sf_dir)  # shared by both phases' verifies
+    dec1 = verify_decisions(
+        cand1, sh, sh, docs.select("doc_id").filter(is_d1),
+        sizes_c=sizes, sizes_d=sizes,
+    )
     admitted = dec1.filter(F.col("n_corpus_matches") == 0).select("doc_id")
     evolved = bands.filter(is_corpus).unionByName(
         bands.join(F.broadcast(admitted), "doc_id", "left_semi")
@@ -320,7 +342,10 @@ def dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d.doc_id").alias("doc_d"), F.col("c.doc_id").alias("doc_c"))
         .distinct()
     )
-    dec2 = verify_decisions(cand2, sh, sh, docs.select("doc_id").filter(is_d2))
+    dec2 = verify_decisions(
+        cand2, sh, sh, docs.select("doc_id").filter(is_d2),
+        sizes_c=sizes, sizes_d=sizes,
+    )
     # shingle/band memos stay live for the family (central hygiene
     # releases them between blocks)
     return result_checkpoint(dec2)

@@ -202,6 +202,41 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_bands(spark, sf_dir)
 
 
+_SIZES_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
+def cached_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle counts ``(doc_id, n)``, cached once per
+    (session, dir) — the third canonical intermediate of the family
+    (r15): every exact-Jaccard verify stage needs it TWICE (both pair
+    sides), so the verified pipeline computed the same full-shingle
+    aggregation twice per run, each incremental decision twice, the
+    evolution lifecycle four times. Derives from the shingle memo
+    (no extra corpus scan); |documents| rows. Same hygiene contract as
+    the shingle/band memos: registered, cleared between blocks,
+    bypassed in plan-audit mode, warm hits flagged."""
+    if _audit_mode():
+        return (
+            shingle_rows(load(spark, sf_dir, "documents"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+    key = memo_key(spark, sf_dir)
+    hit = _SIZES_MEMO.get(key)
+    if hit is None:
+        evict_other_sessions(key)
+        hit = (
+            cached_shingles(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .cache()
+        )
+        _SIZES_MEMO[key] = hit
+    else:
+        note_warm_hit()
+    return hit
+
+
 _VERIFIED_ORACLE = f"""
 WITH {_signature_sql()},
 bands AS ({_bands_sql()}),
@@ -251,7 +286,10 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # cached per-doc shingle counts: joined twice below (both pair
+    # sides) — the shared memo computes the aggregation once per
+    # session instead of twice per run (r15, guide §1.2)
+    sizes = cached_sizes(spark, sf_dir)
     x, y = sh.alias("x"), sh.hint("shuffle_hash").alias("y")
     inter = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))

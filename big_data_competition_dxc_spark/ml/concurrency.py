@@ -38,7 +38,9 @@ MAX_CONCURRENT_FITS = 3
 
 
 def run_concurrently(
-    thunks: Sequence[Callable[[], T]], spark: SparkSession | None = None
+    thunks: Sequence[Callable[[], T]],
+    spark: SparkSession | None = None,
+    max_workers: int | None = None,
 ) -> list[T]:
     """Run independent thunks on driver threads; results in input order.
 
@@ -46,17 +48,21 @@ def run_concurrently(
     A single thunk runs inline — no pool, no thread overhead. Passing
     the session lets ``inheritable_thread_target`` also inherit session
     tags (and silences its advisory warning when one is active).
+
+    ``max_workers`` overrides :data:`MAX_CONCURRENT_FITS` for call
+    sites whose measured sweet spot differs (r15: the 4-branch cluster
+    ensemble pays a whole second wave — the longest branch's full wall
+    again — when capped at 3; a clean-window sweep picked its cap).
     """
     if len(thunks) <= 1:
         return [t() for t in thunks]
+    cap = MAX_CONCURRENT_FITS if max_workers is None else max_workers
     session = spark or SparkSession.getActiveSession()
     wrap = (
         inheritable_thread_target(session)
         if session is not None
         else inheritable_thread_target
     )
-    with ThreadPoolExecutor(
-        max_workers=min(MAX_CONCURRENT_FITS, len(thunks))
-    ) as pool:
+    with ThreadPoolExecutor(max_workers=min(cap, len(thunks))) as pool:
         futures = [pool.submit(wrap(t)) for t in thunks]
         return [f.result() for f in futures]

@@ -254,6 +254,13 @@ def _gbt_split(feats: DataFrame, label: str):
         maxCategories=GBT_MAX_CATEGORIES,
         handleInvalid="keep",
     ).fit(assembled).transform(assembled)
+    # One eager materialization per horizon (guide §5): the GBT fit's
+    # internal conversion AND the blend's two transform passes each
+    # replayed the StringIndexer->assembler->VectorIndexer chain over
+    # the features cache otherwise. Same rows, same partitioning ->
+    # identical seeded fits (A/B row-equality pinned); blocks are swept
+    # by the bench's between-query state release.
+    assembled = assembled.localCheckpoint(eager=True)
     train = assembled.filter(F.col("ds") < "2024-01-22")
     test = assembled.filter(F.col("ds") >= "2024-01-22")
     return train, test

@@ -154,7 +154,17 @@ def ann_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("best") >= ADMIT_COS)
         .select(F.col("q_id").alias("vec_id"))
     )
-    admitted = q1.select("vec_id").join(p1, "vec_id", "left_anti")
+    # The evolved index feeds TWO consumers below (the phase-2
+    # candidate probe and the scoring join), and each replayed the
+    # whole phase-1 probe/aggregate subtree that decides admission.
+    # Materialize the tiny admitted id set once (result_checkpoint:
+    # ≤{EVO_ADMIT} rows; plan-audit mode keeps the full lineage) so
+    # phase 1 executes exactly once — rebuilding `evolved` per
+    # consumer is then just a filter + broadcast semi-join over the
+    # cached signature frame (guide §1.2).
+    admitted = result_checkpoint(
+        q1.select("vec_id").join(p1, "vec_id", "left_anti")
+    )
     evolved = corpus.unionByName(
         sig.join(F.broadcast(admitted), "vec_id", "left_semi")
     )

@@ -162,7 +162,6 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MP_K)
         .select("q_id", "c_id")
-        .cache()
     )
 
     # probe expansion: index 0 = own bucket, i>=1 = bit i flipped
@@ -182,33 +181,42 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("q_id", F.col("p.probe_i").alias("probe_i"), F.col("p.probe").alias("probe"))
 
-    cand = (
-        probes.join(
-            corpus.select(F.col("bucket").alias("probe"), F.col("vec_id").alias("c_id")),
-            "probe",
-        )
-        .select("q_id", "c_id", "probe_i")
-        .cache()
+    cand = probes.join(
+        corpus.select(F.col("bucket").alias("probe"), F.col("vec_id").alias("c_id")),
+        "probe",
+    ).select("q_id", "c_id", "probe_i")
+
+    # ONE pass computes every scalar (r15, guide §1.2 — the r14 shape
+    # attached FIVE separate 1-row aggregates, re-deriving the
+    # candidate set four times: two distincts + two semi-joins + five
+    # counts): dedupe candidates once keeping min(probe_i) (0 ⇔ the
+    # pair is a single-probe candidate), full-outer join with the
+    # exact top-k set, and fold all five counts out of one aggregate —
+    # a candidate row counts toward multi (and single when pmin=0), an
+    # exact row toward exact_pairs, a row present on both sides is a
+    # hit. Same integers, 3 subtrees instead of 9.
+    cm = cand.groupBy("q_id", "c_id").agg(F.min("probe_i").alias("pmin"))
+    j = cm.join(
+        exact.withColumn("ex", F.lit(1)), ["q_id", "c_id"], "full_outer"
     )
-    single = cand.filter(F.col("probe_i") == 0).select("q_id", "c_id").distinct()
-    multi = cand.select("q_id", "c_id").distinct()
-
-    def n(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count("*").cast("bigint").alias(name))
-
-    # five 1-row aggregates attach into the single summary row. The
-    # summary is materialized EAGERLY (result_checkpoint) so the four
-    # caches above — corpus-sized, NOT cleared by bench's session
-    # hygiene, which only clears the ml/recommend memos — can be
-    # unpersisted before returning instead of pinning executor memory
-    # for the life of a multi-query driver session (r8 advice).
     out = result_checkpoint(
-        n(exact, "exact_pairs")
-        .join(n(single, "single_candidates"))
-        .join(n(multi, "multi_candidates"))
-        .join(n(exact.join(single, ["q_id", "c_id"], "left_semi"), "single_hits"))
-        .join(n(exact.join(multi, ["q_id", "c_id"], "left_semi"), "multi_hits"))
-        .select(
+        j.agg(
+            F.count("ex").cast("bigint").alias("exact_pairs"),
+            F.sum(F.when(F.col("pmin") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("single_candidates"),
+            F.count("pmin").cast("bigint").alias("multi_candidates"),
+            F.sum(
+                F.when((F.col("ex") == 1) & (F.col("pmin") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("single_hits"),
+            F.sum(
+                F.when((F.col("ex") == 1) & F.col("pmin").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("multi_hits"),
+        ).select(
             F.lit(MP_QUERIES).cast("bigint").alias("n_queries"),
             F.lit(MP_K).cast("bigint").alias("k"),
             "exact_pairs",
@@ -218,6 +226,11 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "multi_hits",
         )
     )
-    for c in (qs, corpus, exact, cand):
+    # the 1-row summary is materialized eagerly (result_checkpoint) so
+    # the two corpus-sized caches — NOT cleared by bench's session
+    # hygiene, which only clears registered memos — can be unpersisted
+    # before returning (r8 advice). exact/cand are single-consumer now
+    # and no longer cached at all.
+    for c in (qs, corpus):
         c.unpersist()
     return out

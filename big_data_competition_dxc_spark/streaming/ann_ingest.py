@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_to, sql_round
+from ..ml.concurrency import run_concurrently
 from ..plans.registry import query
 from ..similarity.cosine import SQL_COS, as_double, dot
 from ..sources import load
@@ -160,41 +161,52 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         corpus = emb.filter(F.col("vec_id") >= N_STREAM_QUERIES)
 
-        # --- stored table 1: full vectors + precomputed norms,
-        # bucketed on vec_id for the pruned rerank reads.
-        spark.sql(f"DROP TABLE IF EXISTS {_VECTOR_TABLE}")
-        (
-            corpus.select(
-                "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+        # Index-build chain and query staging are INDEPENDENT jobs —
+        # overlap them (guide §2.6). The build chain stays sequential
+        # by data dependency (postings derive FROM the stored vector
+        # table).
+        def _build_index() -> tuple[DataFrame, DataFrame]:
+            # --- stored table 1: full vectors + precomputed norms,
+            # bucketed on vec_id for the pruned rerank reads.
+            spark.sql(f"DROP TABLE IF EXISTS {_VECTOR_TABLE}")
+            (
+                corpus.select(
+                    "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+                )
+                .repartition(N_VEC_BUCKETS, "vec_id")
+                .write.bucketBy(N_VEC_BUCKETS, "vec_id")
+                .sortBy("vec_id")
+                .option("path", vec_dir)
+                .mode("overwrite")
+                .saveAsTable(_VECTOR_TABLE)
             )
-            .repartition(N_VEC_BUCKETS, "vec_id")
-            .write.bucketBy(N_VEC_BUCKETS, "vec_id")
-            .sortBy("vec_id")
-            .option("path", vec_dir)
-            .mode("overwrite")
-            .saveAsTable(_VECTOR_TABLE)
-        )
-        vectors_tbl = spark.table(_VECTOR_TABLE)
+            tbl = spark.table(_VECTOR_TABLE)
 
-        # --- stored table 2: the sign-LSH postings, bucketed on bucket.
-        # Built FROM the stored vector table (one read), bucket strings
-        # recomputed — postings rows are (bucket, vec_id) only.
-        spark.sql(f"DROP TABLE IF EXISTS {_INDEX_TABLE}")
-        (
-            vectors_tbl.select(_bucket_col("v").alias("bucket"), "vec_id")
-            .repartition(N_ANN_BUCKETS, "bucket")
-            .write.bucketBy(N_ANN_BUCKETS, "bucket")
-            .sortBy("bucket")
-            .option("path", idx_dir)
-            .mode("overwrite")
-            .saveAsTable(_INDEX_TABLE)
-        )
-        index_tbl = spark.table(_INDEX_TABLE)
+            # --- stored table 2: the sign-LSH postings, bucketed on
+            # bucket. Built FROM the stored vector table (one read),
+            # bucket strings recomputed — postings rows are
+            # (bucket, vec_id) only.
+            spark.sql(f"DROP TABLE IF EXISTS {_INDEX_TABLE}")
+            (
+                tbl.select(_bucket_col("v").alias("bucket"), "vec_id")
+                .repartition(N_ANN_BUCKETS, "bucket")
+                .write.bucketBy(N_ANN_BUCKETS, "bucket")
+                .sortBy("bucket")
+                .option("path", idx_dir)
+                .mode("overwrite")
+                .saveAsTable(_INDEX_TABLE)
+            )
+            return tbl, spark.table(_INDEX_TABLE)
 
-        queries_df = emb.filter(F.col("vec_id") < N_STREAM_QUERIES).select(
-            "vec_id", "v", F.pmod("vec_id", F.lit(ANN_SLICES)).alias("slice")
+        def _stage_queries() -> None:
+            queries_df = emb.filter(F.col("vec_id") < N_STREAM_QUERIES).select(
+                "vec_id", "v", F.pmod("vec_id", F.lit(ANN_SLICES)).alias("slice")
+            )
+            queries_df.repartition("slice").write.partitionBy("slice").parquet(in_dir)
+
+        (vectors_tbl, index_tbl), _ = run_concurrently(
+            [_build_index, _stage_queries], spark
         )
-        queries_df.repartition("slice").write.partitionBy("slice").parquet(in_dir)
 
         LAST_BATCH_IDS.clear()
         LAST_PROBE_PLANS.clear()

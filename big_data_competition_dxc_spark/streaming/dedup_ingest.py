@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from ..dedup.incremental import FIXED_DELTA_DOCS, _IS_FIXED_DELTA_SQL, _incremental_oracle, verify_decisions
 from ..dedup.jaccard import shingle_rows
 from ..dedup.minhash import _band_rows, _signature
+from ..ml.concurrency import run_concurrently
 from ..plans.registry import query
 from ..sources import load
 
@@ -153,43 +154,65 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = None
     spark.conf.set(auto_key, "false")
     try:
-        # --- stored table 1: corpus shingles, bucketed on doc_id. The
-        # verify stage's per-batch reads prune to matched ids; building
-        # the band index below reads it ONCE, exchange-free (groupBy on
-        # the bucket key).
-        spark.sql(f"DROP TABLE IF EXISTS {_SHINGLE_TABLE}")
-        (
-            shingle_rows(docs.filter(F.col("doc_id") >= FIXED_DELTA_DOCS))
-            .repartition(N_SHINGLE_BUCKETS, "doc_id")
-            .write.bucketBy(N_SHINGLE_BUCKETS, "doc_id")
-            .sortBy("doc_id")
-            .option("path", sh_dir)
-            .mode("overwrite")
-            .saveAsTable(_SHINGLE_TABLE)
-        )
-        corpus_sh_tbl = spark.table(_SHINGLE_TABLE)
+        # The corpus-index build chain and the delta staging write are
+        # INDEPENDENT jobs — overlap them (guide §2.6) so the staging
+        # write back-fills the build stages' tails. The build chain
+        # itself is sequential by data dependency (band index and size
+        # table both derive FROM the stored shingle table).
+        def _build_corpus() -> tuple[DataFrame, DataFrame, DataFrame]:
+            # --- stored table 1: corpus shingles, bucketed on doc_id.
+            # The verify stage's per-batch reads prune to matched ids;
+            # building the band index below reads it ONCE,
+            # exchange-free (groupBy on the bucket key).
+            spark.sql(f"DROP TABLE IF EXISTS {_SHINGLE_TABLE}")
+            (
+                shingle_rows(docs.filter(F.col("doc_id") >= FIXED_DELTA_DOCS))
+                .repartition(N_SHINGLE_BUCKETS, "doc_id")
+                .write.bucketBy(N_SHINGLE_BUCKETS, "doc_id")
+                .sortBy("doc_id")
+                .option("path", sh_dir)
+                .mode("overwrite")
+                .saveAsTable(_SHINGLE_TABLE)
+            )
+            tbl = spark.table(_SHINGLE_TABLE)
 
-        # --- stored table 2: the band index, bucketed on (band, band_key).
-        # repartition by the bucket columns first (same Murmur3 hash the
-        # bucketing layer uses) so each bucket is ONE file and bucket-sorted
-        # reads need no re-sort.
-        spark.sql(f"DROP TABLE IF EXISTS {_INDEX_TABLE}")
-        (
-            _band_rows(_signature(corpus_sh_tbl))
-            .repartition(N_INDEX_BUCKETS, "band", "band_key")
-            .write.bucketBy(N_INDEX_BUCKETS, "band", "band_key")
-            .sortBy("band", "band_key")
-            .option("path", idx_dir)
-            .mode("overwrite")
-            .saveAsTable(_INDEX_TABLE)
-        )
-        corpus_bands = spark.table(_INDEX_TABLE)
+            # --- stored table 2: the band index, bucketed on
+            # (band, band_key). repartition by the bucket columns first
+            # (same Murmur3 hash the bucketing layer uses) so each
+            # bucket is ONE file and bucket-sorted reads need no
+            # re-sort.
+            spark.sql(f"DROP TABLE IF EXISTS {_INDEX_TABLE}")
+            (
+                _band_rows(_signature(tbl))
+                .repartition(N_INDEX_BUCKETS, "band", "band_key")
+                .write.bucketBy(N_INDEX_BUCKETS, "band", "band_key")
+                .sortBy("band", "band_key")
+                .option("path", idx_dir)
+                .mode("overwrite")
+                .saveAsTable(_INDEX_TABLE)
+            )
+            # --- stored property 3: per-doc shingle counts — derived
+            # once at index-build time (exchange-free: groupBy on the
+            # shingle table's bucket key) and materialized tiny
+            # (|corpus docs| rows), so each micro-batch's verify skips
+            # a second aggregation pass over its pruned corpus scan.
+            sizes = (
+                tbl.groupBy("doc_id")
+                .agg(F.count("*").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            return tbl, spark.table(_INDEX_TABLE), sizes
 
-        delta = docs.filter(F.col("doc_id") < FIXED_DELTA_DOCS).select(
-            "doc_id", "text", F.pmod("doc_id", F.lit(INGEST_SLICES)).alias("slice")
+        def _stage_delta() -> None:
+            delta = docs.filter(F.col("doc_id") < FIXED_DELTA_DOCS).select(
+                "doc_id", "text", F.pmod("doc_id", F.lit(INGEST_SLICES)).alias("slice")
+            )
+            # one file per slice dir -> maxFilesPerTrigger=1 = one slice/batch
+            delta.repartition("slice").write.partitionBy("slice").parquet(in_dir)
+
+        (corpus_sh_tbl, corpus_bands, corpus_sizes), _ = run_concurrently(
+            [_build_corpus, _stage_delta], spark
         )
-        # one file per slice dir -> maxFilesPerTrigger=1 = one slice/batch
-        delta.repartition("slice").write.partitionBy("slice").parquet(in_dir)
 
         LAST_BATCH_IDS.clear()
         LAST_PROBE_PLANS.clear()
@@ -235,7 +258,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     LAST_VERIFY_PLANS.append(_formatted_plan(corpus_side))
                 else:  # pathological collision storm: unpruned bucketed scan
                     corpus_side = corpus_sh_tbl
-                out = verify_decisions(cand, bsh, corpus_side, b.select("doc_id"))
+                out = verify_decisions(
+                    cand, bsh, corpus_side, b.select("doc_id"),
+                    sizes_c=corpus_sizes,
+                )
                 # deterministic per-batch path + overwrite = idempotent replay
                 out.write.mode("overwrite").parquet(
                     os.path.join(res_dir, f"b{batch_id}")

@@ -132,7 +132,15 @@ def stream_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
-    rows = drain_to_memory(spark, joined, stage, "append")
+    # Size-derived state partitioning — same rationale and oracle pin
+    # as stream_stream_attribution_join (confscope.scaled_state_scope):
+    # scaling key domain, so the store count follows input bytes
+    # instead of a constant; NULL emission depends only on the global
+    # watermark, which is partition-count independent.
+    from .confscope import scaled_state_scope
+
+    with scaled_state_scope(spark, stage):
+        rows = drain_to_memory(spark, joined, stage, "append")
     return spark.createDataFrame(
         rows, "purchase_id bigint, user_id bigint, click_id bigint, lag_seconds bigint"
     )

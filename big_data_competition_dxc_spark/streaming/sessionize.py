@@ -183,7 +183,19 @@ def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id",
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
     )
-    rows = drain_to_memory(spark, joined, stage, "append")
+    # Size-derived state partitioning (confscope.scaled_state_scope):
+    # the join key domain SCALES with data, so a constant pin is
+    # forbidden — instead the store count follows input bytes (floor 4,
+    # capped at the session default). At the old session default the
+    # availableNow run committed 32 partitions x 4 join stores x 2
+    # micro-batches = 256 store commits for ~40k state rows; the
+    # zero-input watermark-flush batch alone cost ~5.7s of pure store
+    # fan-out. Hash partitioning only decides where a key's state
+    # lives — the emitted row set is identical (oracle-pinned).
+    from .confscope import scaled_state_scope
+
+    with scaled_state_scope(spark, stage):
+        rows = drain_to_memory(spark, joined, stage, "append")
     return spark.createDataFrame(
         rows, "purchase_id bigint, click_id bigint, user_id bigint, lag_seconds bigint"
     )

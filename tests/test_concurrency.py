@@ -73,3 +73,56 @@ def test_state_partitions_scope_restores_on_error(spark):
         with state_partitions_scope(spark, 7):
             raise RuntimeError("stream died")
     assert spark.conf.get(key) == prev
+
+
+def test_run_concurrently_max_workers_override(spark):
+    """A call site may widen the cap past MAX_CONCURRENT_FITS (r15: the
+    4-branch cluster ensemble runs one wave at cap 4); the default cap
+    still applies when the override is absent."""
+    import threading
+    import time
+
+    def make(barrier):
+        def t():
+            # every thunk must reach the barrier together — only
+            # possible when all 4 run concurrently
+            barrier.wait(timeout=5)
+            return threading.get_ident()
+
+        return t
+
+    barrier = threading.Barrier(4)
+    ids = run_concurrently([make(barrier) for _ in range(4)], spark, max_workers=4)
+    assert len(set(ids)) == 4
+
+
+def test_scaled_state_partitions_derive_from_bytes(spark, tmp_path):
+    """Size-derived state partitioning (r15, guide §2 'derive from
+    input size'): floor for tiny inputs, grows with bytes, capped at
+    the session default — never a constant, never the core count."""
+    from big_data_competition_dxc_spark.streaming.confscope import (
+        scaled_state_partitions,
+        scaled_state_scope,
+    )
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)  # 1 KiB -> floor
+    assert scaled_state_partitions(spark, str(small)) == 4
+
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * (9 << 20))  # 9 MiB / 4 MiB advisory -> 3 < floor 4
+    assert scaled_state_partitions(spark, str(big)) == 4
+    # grows with bytes once past the floor (still capped at the default)
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert scaled_state_partitions(
+        spark, str(big), advisory_bytes=1 << 20
+    ) == min(9, default)
+    huge_n = scaled_state_partitions(spark, str(big), advisory_bytes=1)
+    assert huge_n == default
+
+    # directory inputs are walked; the scope sets and restores the conf
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with scaled_state_scope(spark, str(tmp_path)):
+        assert spark.conf.get(key) == "4"
+    assert spark.conf.get(key) == prev

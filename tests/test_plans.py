@@ -142,7 +142,7 @@ _BNLJ_OK = {
     "neardup_curve_sampled",    # same attach shape on the sampled pair space
     "hll_sketch_rollup",        # 1-row exact-count scalar attach to the merged sketch
     "theta_overlap_check",      # 1-row min-day + estimate + exact-overlap attaches
-    "ann_multiprobe_recall",    # five 1-row count scalars attach into the summary
+    "ann_multiprobe_recall",    # exact ground truth: tiny query set broadcast vs corpus (r15: the five 1-row scalar attaches folded into one aggregate)
     "dsir_importance_weights",  # 1-row model-totals scalar attach (r12)
     "dsir_resample_keep",       # same attach via the shared dsir_doc_units (r13)
     "corpus_release_pipeline",  # same dsir model-totals attach, composed (r14)
