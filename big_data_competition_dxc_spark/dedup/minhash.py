@@ -286,6 +286,14 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # NO candidate-id prune of the verify sides: measured slower for
+    # the third time in r15 (plans/r15/ab_minhash_prune.json) — even
+    # with the candidate pairs cache-materialized, the semi-join prune
+    # costs more than it saves while the shingle frame is memo-resident
+    # (r14 tried the lazy and persisted forms; same verdict). The §3.2
+    # prune only pays when the shingle frame is NOT resident — the
+    # true-100 TB cold regime, where the stored-index streaming ingest
+    # (streaming/dedup_ingest.py) is the shape that runs instead.
     # cached per-doc shingle counts: joined twice below (both pair
     # sides) — the shared memo computes the aggregation once per
     # session instead of twice per run (r15, guide §1.2)
