@@ -56,7 +56,15 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    rows = drain_to_memory(spark, deduped, stage, "append")
+    # Size-derived state partitioning — same rationale and oracle pin
+    # as the stream-stream joins (confscope.scaled_state_scope): the
+    # dedup key domain (event ids) scales with data, so the store
+    # count follows input bytes; dedup state lives within a key's hash
+    # partition, so the emitted row set is partition-count independent.
+    from .confscope import scaled_state_scope
+
+    with scaled_state_scope(spark, in_dir):
+        rows = drain_to_memory(spark, deduped, stage, "append")
     return spark.createDataFrame(rows, schema)
 
 

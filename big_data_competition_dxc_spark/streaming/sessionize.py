@@ -116,7 +116,16 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    rows = drain_to_memory(spark, agg, stage, "complete")
+    # Size-derived state partitioning — same rationale and oracle pin
+    # as the stream-stream joins (confscope.scaled_state_scope): the
+    # session-window key domain (users) scales with data, so the store
+    # count follows input bytes instead of a constant; session merging
+    # happens within a user's hash partition, so the session set is
+    # partition-count independent.
+    from .confscope import scaled_state_scope
+
+    with scaled_state_scope(spark, stage):
+        rows = drain_to_memory(spark, agg, stage, "complete")
     return spark.createDataFrame(
         rows,
         "user_id bigint, session_start timestamp, session_end timestamp, "
